@@ -1,0 +1,359 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Signal, Text, Vectors}
+
+/** The declared t2 query inventory (SURVEY.md §7.3): one DataFrame
+  * program per operator from SURVEY.md §2, each hash-checked against a
+  * DuckDB oracle (Oracle.scala) at sf0.01 by the driver.
+  *
+  * Determinism conventions (SURVEY.md §7.4): every query ends with
+  * ORDER BY over a unique key set; derived float aggregates are rounded
+  * to 4 dp; large-group sums go through Signal.exactSum (decimal) so
+  * partial-agg ordering cannot change the result; array elements are
+  * cast to double before arithmetic.
+  *
+  * Scale notes are inline: each query states why its plan survives a
+  * 1000-executor / 100 TB deployment.
+  */
+object Queries {
+  import Tables._
+
+  private def ev(s: SparkSession, d: String) = events(s, d)
+
+  /** Global sort at the end of each query is for oracle determinism
+    * (range-partition exchange); at 100 TB a consumer would drop the
+    * final ORDER BY — it is not part of operator semantics.
+    */
+
+  // ---- §2.1/2.2 scans, filters, json ---------------------------------
+
+  /** S1+P2: projection pushdown — only 4 of 11 lineitem columns reach
+    * the parquet reader (check: ReadSchema in explain).
+    */
+  def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P3: validity filter — predicate pushed to parquet scan. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type") =!= "error" && col("value") > 50)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** S8/S9/P1: JSON field extraction (jsonpath analogue,
+    * FeatureEngineeringApproaches.md:134-147).
+    */
+  def q03(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy(col("event_id"))
+
+  // ---- §2.3 feature kernels (group forms) ----------------------------
+
+  def q04(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(round(Signal.rms(col("value")), 4).as("rms"))
+      .orderBy(col("user_id"))
+
+  def q05(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(Signal.peak(col("value")).as("peak"))
+      .orderBy(col("user_id"))
+
+  def q06(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(round(Signal.peakToPeak(col("value")), 4).as("ptp"))
+      .orderBy(col("user_id"))
+
+  def q07(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(round(Signal.crest(col("value")), 4).as("crest"))
+      .orderBy(col("user_id"))
+
+  def q08(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(round(Signal.kurtosisPop(col("value")), 4).as("kurt"))
+      .orderBy(col("event_type"))
+
+  /** P4: global-stats outlier filter. The 1-row stats aggregate is
+    * broadcast — scale-safe (no shuffle of the fact side).
+    */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val stats = e.agg(avg(col("value")).as("mu"),
+      stddev_pop(col("value")).as("sigma"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("z", Signal.zscore(col("value"), col("mu"), col("sigma")))
+      .filter(col("z") > 2)
+      .select(col("event_id"), col("value"), round(col("z"), 4).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S7/A3/P7: routine-load analogue — all 3 features in one
+    * partial+final hash aggregate (single shuffle).
+    */
+  def q10(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(
+        round(Signal.rms(col("value")), 4).as("rms"),
+        Signal.peak(col("value")).as("peak"),
+        round(Signal.kurtosisPop(col("value")), 4).as("kurt"))
+      .orderBy(col("user_id"))
+
+  // ---- §2.4 time windows ---------------------------------------------
+
+  def q11(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(date_trunc("minute", col("ts")).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("bucket_ts"))
+
+  /** A1: the 10→1/s reduction (TechSpikeDataPipeline.md:50-53). */
+  def q12(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(date_trunc("second", col("ts")).as("bucket_ts"), col("user_id"))
+      .agg(round(Signal.rms(col("value")), 4).as("rms"), count(lit(1)).as("n"))
+      .orderBy(col("bucket_ts"), col("user_id"))
+
+  // ---- §2.3 array forms ----------------------------------------------
+
+  def q13(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), round(Signal.arrayRms(col("embedding")), 4).as("arr_rms"))
+      .orderBy(col("vec_id"))
+
+  def q14(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), round(Signal.arrayPeak(col("embedding")), 4).as("arr_peak"))
+      .orderBy(col("vec_id"))
+
+  // ---- §2.8 dedup ------------------------------------------------------
+
+  /** X1 exact dedup. Groups by the 128-bit md5 fingerprint, NOT the
+    * document body — at 100 TB the shuffle carries 16 bytes + ids per
+    * row instead of the text.
+    */
+  def q15(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  // ---- §2.5 joins ------------------------------------------------------
+
+  /** J1: broadcast hash join — customer is the small dim side. */
+  def q16(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .join(broadcast(customer(s, d)), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_name"), col("c_mktsegment"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** S5/S6: partitioned parquet lake sink — writes partitionBy(event_type)
+    * (the machine/year/month layout analogue, README.md:541-573), reads
+    * the partitioned layout back, and aggregates per partition. The
+    * read-back count proves partition-column round-trip.
+    */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    ev(s, d).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** P5/P6: validity routing — single pass, flag + group (at scale the
+    * streaming form fans out to two sinks; batch twin counts per flag).
+    */
+  def q18(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("is_valid",
+        col("value") > 0 && col("event_type") =!= "error" && col("props").isNotNull)
+      .groupBy(col("is_valid"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("is_valid"))
+
+  /** F9: completeness quality metric (README.md:485-499) per column. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      round(Signal.completeness(col("o_orderkey")), 4).as("o_orderkey_c"),
+      round(Signal.completeness(col("o_custkey")), 4).as("o_custkey_c"),
+      round(Signal.completeness(col("o_orderstatus")), 4).as("o_orderstatus_c"),
+      round(Signal.completeness(col("o_totalprice")), 4).as("o_totalprice_c"),
+      round(Signal.completeness(col("o_orderdate")), 4).as("o_orderdate_c"))
+
+  // ---- §2.4 grouping sets / distinct ----------------------------------
+
+  def q20(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .orderBy(col("lang"), col("source"))
+
+  def q21(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** J2 flagship: customer ⋈ orders ⋈ lineitem revenue rollup.
+    * customer/orders are the smaller sides; AQE picks broadcast for
+    * customer and SMJ for orders⋈lineitem at scale. Revenue sums via
+    * decimal (Signal.exactSum) — order-independent, hash-stable.
+    */
+  def q22(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        Signal.exactSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  def q23(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  def q24(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** U1: raw ∪ processed zones analogue — two disjoint filtered subsets
+    * re-unioned and re-aggregated.
+    */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    e.filter(col("event_type") === "purchase")
+      .unionByName(e.filter(col("event_type") === "click"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Signal.exactSumD(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- §2.6 sorts / top-k / windows ------------------------------------
+
+  /** W2: top-k — TakeOrderedAndProject, no global sort. Sort key is the
+    * exact decimal sum so both engines rank identically.
+    */
+  def q26(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("user_id"))
+      .agg(Signal.exactSum(col("value")).as("tot_dec"))
+      .orderBy(col("tot_dec").desc, col("user_id"))
+      .limit(10)
+      .select(col("user_id"), round(col("tot_dec").cast("double"), 4).as("total"))
+
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** W4/T5 batch twin: gap>30min sessionization via lag + running sum.
+    * Partition-local window work; scales with user cardinality.
+    */
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("gap",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ---- §2.8 similarity / text / multimodal -----------------------------
+
+  /** X2: brute-force cosine top-k to a probe vector. The probe is a
+    * 1-row broadcast; the scan side is embarrassingly parallel. The
+    * 100 TB path swaps the scan for an LSH/IVF prefilter (see
+    * operators.Ann) — same output contract.
+    */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("probe_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** X3: tokenize → explode → count — the wordcount shape. */
+  def q30(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** X4: multimodal join — text table ⋈ vector table on id. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(Signal.arrayRms(col("embedding"))), 4).as("avg_rms"))
+      .orderBy(col("lang"))
+
+  // ---- registry --------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_projection" -> (q01 _),
+    "q02_filter_predicate" -> (q02 _),
+    "q03_json_extract" -> (q03 _),
+    "q04_rms_group" -> (q04 _),
+    "q05_peak_group" -> (q05 _),
+    "q06_peak_to_peak" -> (q06 _),
+    "q07_crest_factor" -> (q07 _),
+    "q08_kurtosis_group" -> (q08 _),
+    "q09_outlier_zscore" -> (q09 _),
+    "q10_inload_features" -> (q10 _),
+    "q11_per_minute" -> (q11 _),
+    "q12_per_second_reduce" -> (q12 _),
+    "q13_array_rms" -> (q13 _),
+    "q14_array_peak" -> (q14 _),
+    "q15_dedup" -> (q15 _),
+    "q16_enrich_join" -> (q16 _),
+    "q17_partitioned_write" -> (q17 _),
+    "q18_validity_split" -> (q18 _),
+    "q19_completeness" -> (q19 _),
+    "q20_cube_counts" -> (q20 _),
+    "q21_distinct_users" -> (q21 _),
+    "q22_multi_join_agg" -> (q22 _),
+    "q23_semi_join" -> (q23 _),
+    "q24_anti_join" -> (q24 _),
+    "q25_union_zones" -> (q25 _),
+    "q26_topk_users" -> (q26 _),
+    "q27_rank_window" -> (q27 _),
+    "q28_sessionize" -> (q28 _),
+    "q29_cosine_topk" -> (q29 _),
+    "q30_token_wordcount" -> (q30 _),
+    "q31_doc_embed_join" -> (q31 _)
+  )
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the training-data-pipeline surface
+  * (north-star extensions; SURVEY.md §2.8 X1/X3): tokenization, n-gram
+  * shingles, language-ID heuristic, quality scoring, fingerprinting,
+  * MinHash/SimHash dedup primitives.
+  *
+  * Everything is a pure Column expression over built-ins (split /
+  * transform / filter / md5 / conv) — codegen'd, per-row, no shuffles
+  * of its own, so it composes into whatever aggregation the caller
+  * partitions. Hash primitives use md5 (present + identical in both
+  * Spark and DuckDB) rather than xxhash64 (Spark-only) so dedup
+  * queries stay oracle-checkable.
+  */
+object Text {
+
+  /** Whitespace tokenizer. `documents.text` is space-separated
+    * lowercase words (FIXTURES.md §A notes).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a
+    * single other non-space char. Same RE2-compatible pattern works in
+    * Spark (Java regex) and DuckDB.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word-level n-gram shingles, joined with ''. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val k = size(toks) - lit(n - 1)
+    // slide a window: for i in 0..(len-n) emit toks[i..i+n-1]
+    transform(sequence(lit(0), greatest(k - 1, lit(0))),
+      i => concat_ws("", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Deterministic 64-bit-ish hash from md5 hex: first 15 hex digits →
+    * bigint (60 bits, fits signed 64). Identical in DuckDB via
+    * `('0x' || substr(md5(s),1,15))::BIGINT`-style casts.
+    */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash families: h_i(s) = md5Long(i || s). */
+  def md5LongSeeded(s: Column, seed: Int): Column =
+    md5Long(concat(lit(seed.toString + ""), s))
+
+  /** MinHash signature of a shingle array: array of k minima, one per
+    * seeded hash family. Classic shingle→minhash (Broder 1997).
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleArr, s => md5LongSeeded(s, i)))
+    }: _*)
+
+  /** SimHash-64-ish fingerprint over tokens (Charikar 2002): for each
+    * of `bits` positions, sign of sum over tokens of (+1 if hash bit
+    * set else -1); pack to a bit string. Uses md5-derived bits so it is
+    * engine-portable.
+    */
+  def simhashBits(toks: Column, bits: Int): Column =
+    concat((0 until bits).map { b =>
+      val vote = aggregate(
+        transform(toks, t => when(md5Long(t).bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Exact content fingerprint (md5 of full text) — X1 exact-dedup key.
+    * At 100 TB: groupBy this 128-bit key instead of the full text so
+    * the shuffle carries 16 bytes/row, not the document body.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  // ---- language ID (n-gram/stopword heuristic) ------------------------
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "mit", "von"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有")
+  )
+
+  private def stopCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** Heuristic language ID: argmax of per-language stopword hits, with
+    * a fixed priority order (en,fr,es,de,zh) breaking ties; "und"
+    * (undetermined) when no stopword matches at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val counts = langs.map(l => l -> stopCount(toks, l))
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    // nested WHENs, outermost = en, so earlier langs win ties
+    counts.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- quality scoring -------------------------------------------------
+
+  /** Stopword ratio across all known languages. */
+  def stopwordRatio(toks: Column): Column = {
+    val all = stopwords.values.flatten.toSeq
+    size(filter(toks, t => t.isInCollection(all))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (a, v) => a + v).cast("double") / greatest(size(toks), lit(1)).cast("double")
+
+  /** Heuristic document quality score in [0,1]: blend of length,
+    * mean-token-length, and stopword signals (the reference's
+    * data_quality_score idea, README.md:485-499, re-targeted at text).
+    * Deterministic closed-form — oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val tokLen = meanTokenLen(toks)
+    val tokLenScore = least(tokLen / lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * lit(5.0), lit(1.0))
+    (lenScore + tokLenScore + stopScore) / lit(3.0)
+  }
+}
