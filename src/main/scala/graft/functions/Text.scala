@@ -29,13 +29,13 @@ object Text {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Word-level n-gram shingles, joined with ''. */
+  /** Word-level n-gram shingles, joined with a space */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val k = size(toks) - lit(n - 1)
     // slide a window: for i in 0..(len-n) emit toks[i..i+n-1]
     transform(sequence(lit(0), greatest(k - 1, lit(0))),
-      i => concat_ws("", slice(toks, i + 1, lit(n))))
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
   }
 
   /** Deterministic 64-bit-ish hash from md5 hex: first 15 hex digits →

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+class TextVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Vectors.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    assert(math.abs(df.select(Vectors.cosine($"a", $"b")).head().getDouble(0)) < 1e-12)
+  }
+
+  test("shingles produce n-grams in order") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(Text.shingles($"t", 3)).head().getSeq[String](0)
+    assert(sh.toList.map(_.toString) == List("a b c", "b c d"))
+  }
+
+  test("minhash signature is deterministic and dup-invariant") {
+    val df = Seq("x y z w v u t s", "x y z w v u t s", "totally different words here")
+      .toDF("t")
+    val sigs = df.select(Text.minhashSignature(Text.shingles($"t", 3), 4))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))       // identical docs → identical signature
+    assert(sigs(0) != sigs(2))       // different docs → different signature
+  }
+
+  test("langid picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog is here",  // en
+      "le chat et la souris",         // fr
+      "der hund und die katze",       // de
+      "qqq www eee"                   // none
+    ).toDF("t")
+    val got = df.select(Text.langId($"t")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "fr", "de", "und"))
+  }
+
+  test("quality score is in [0,1] and higher for stopword-rich text") {
+    val df = Seq("the and of to a in is the and of", "zzzz").toDF("t")
+    val qs = df.select(Text.qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0 && q <= 1))
+    assert(qs(0) > qs(1))
+  }
+
+  test("fingerprint equals md5 and md5Long is stable") {
+    val df = Seq("hello world").toDF("t")
+    val row = df.select(Text.fingerprint($"t"), Text.md5Long($"t")).head()
+    assert(row.getString(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    // first 15 hex of md5 as base-16 long
+    assert(row.getLong(1) == java.lang.Long.parseLong("5eb63bbbe01eeed", 16))
+  }
+
+  test("regex token count: words, numbers, punctuation") {
+    val df = Seq("abc 12 d-e!").toDF("t")
+    // tokens: abc, 12, d, -, e, !
+    assert(df.select(Text.regexTokenCount($"t")).head().getInt(0) == 6)
+  }
+}
