@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.operators.{Ann, Dedup}
+
+/** North-star extension queries (SURVEY.md §2.8 expanded): the
+  * operators a large-scale training-data pipeline needs — dedup
+  * families, similarity search, text analysis — each oracle-checked
+  * like the core set. Matching DuckDB SQL in OracleExt (generated to
+  * guarantee formula parity with the Column expressions).
+  */
+object QueriesExt {
+  import Tables._
+
+  /** Language-ID heuristic per document. */
+  def q32(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * blended score.
+    */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tok"),
+      round(Text.meanTokenLen(toks), 4).as("mean_tok_len"),
+      round(Text.stopwordRatio(toks), 4).as("stop_ratio"),
+      round(Text.qualityScore(col("text")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: 128-bit md5 + 60-bit integer projection
+    * (the key family every dedup/bucketing operator here shuffles on).
+    */
+  def q34(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      Text.fingerprint(col("text")).as("fp"),
+      Text.md5Long(col("text")).as("fp_long"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash signatures (8 hash families over 3-gram shingles). */
+  def q35(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignature(documents(s, d), col("text"), col("doc_id"), 3, 8)
+      .orderBy(col("doc_id"))
+
+  /** SimHash 16-bit fingerprints. */
+  def q36(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(documents(s, d), col("text"), col("doc_id"), 16)
+      .orderBy(col("doc_id"))
+
+  /** n-gram Jaccard near-dup pairs via inverted shingle index. */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"), 3, 0.12)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding-cosine near-dup pairs, blocked on label (the blocking
+    * key stands in for an LSH bucket at scale — never all-pairs).
+    */
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+      col("embedding").as("b_emb"))
+    a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+      .withColumn("cos", Vectors.cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** LSH-bucketed ANN: 4 hyperplanes (vectors 1..4 as a deterministic
+    * codebook), search only the probe's bucket.
+    */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val hps: Seq[Seq[Double]] = e.filter(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    Ann.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      probe, hps, 5)
+  }
+
+  /** Token counting: whitespace + BPE-ish regex tokenizations. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(Text.tokens(col("text"))).as("n_ws_tokens"),
+      Text.regexTokenCount(col("text")).as("n_regex_tokens"),
+      col("n_chars"),
+      length(col("text")).as("len_text"))
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_langid" -> (q32 _),
+    "q33_quality_score" -> (q33 _),
+    "q34_fingerprint" -> (q34 _),
+    "q35_minhash_signature" -> (q35 _),
+    "q36_simhash" -> (q36 _),
+    "q37_ngram_jaccard" -> (q37 _),
+    "q38_embed_neardup" -> (q38 _),
+    "q39_ann_lsh" -> (q39 _),
+    "q40_token_stats" -> (q40 _)
+  )
+}
+
+/** Generated DuckDB SQL mirroring QueriesExt formulas exactly. */
+object OracleExt {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private def md5long(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB mirror of Text.shingles(text, 3): Spark emits
+    * sequence(0, greatest(size-3, 0)) windows with clamped slice.
+    */
+  private val shingles3 =
+    "list_transform(range(1, greatest(len(toks)-2, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+2], ' '))"
+
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sumsq(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)}))"
+
+  private val langs = Seq("en", "fr", "es", "de", "zh")
+
+  val sql: Map[String, String] = Map(
+    "q32_langid" -> {
+      val cnts = langs.map(l =>
+        s"len(list_filter(string_split(text, ' '), w -> w IN (${inList(Text.stopwords(l))}))) AS c_$l")
+        .mkString(",\n    ")
+      val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN c_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH c AS (SELECT doc_id,
+         |    $cnts
+         |  FROM documents),
+         |b AS (SELECT doc_id, c_en, c_fr, c_es, c_de, c_zh, $best AS best FROM c)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_quality_score" -> {
+      val allStop = inList(Text.stopwords.values.flatten.toSeq)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_tok,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl,
+         |  CAST(len(list_filter(toks, x -> x IN ($allStop))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS sr
+         |  FROM t)
+         |SELECT doc_id, n_tok, round(mtl, 4) AS mean_tok_len, round(sr, 4) AS stop_ratio,
+         |  round((least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) + least(mtl / 5.0, 1.0)
+         |    + least(sr * 5.0, 1.0)) / 3.0, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp, ${md5long("text")} AS fp_long
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_minhash_signature" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
+        .mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shingles3 AS sh FROM t)
+         |SELECT doc_id,
+         |  $sigs
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q36_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        val mask = 1L << b
+        s"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (${md5long("t")} & $mask) <> 0 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, $bits AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_int
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.12
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q38_embed_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosine("a.embedding", "b.embedding")}, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosine("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q39_ann_lsh" -> {
+      val bucketE = (1 to 4).map(i =>
+        s"CASE WHEN ${dot("e.embedding", s"h$i.he")} > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val bucketP = (1 to 4).map(i =>
+        s"CASE WHEN ${dot("p.pe", s"h$i.he")} > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val hCtes = (1 to 4).map(i =>
+        s"h$i AS (SELECT embedding AS he FROM embeddings WHERE vec_id = $i)")
+        .mkString(",\n")
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |$hCtes,
+         |b AS (SELECT e.vec_id, e.embedding, $bucketE AS bucket
+         |      FROM embeddings e, h1, h2, h3, h4 WHERE e.vec_id <> 0),
+         |pb AS (SELECT $bucketP AS probe_bucket FROM p, h1, h2, h3, h4)
+         |SELECT b.vec_id, round(${cosine("b.embedding", "p.pe")}, 4) AS cosine
+         |FROM b, pb, p WHERE b.bucket = pb.probe_bucket
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin
+    },
+
+    "q40_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,
+        |  n_chars, length(text) AS len_text
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -47,7 +47,7 @@ object Text {
 
   /** Seeded variant for MinHash families: h_i(s) = md5Long(i || s). */
   def md5LongSeeded(s: Column, seed: Int): Column =
-    md5Long(concat(lit(seed.toString + ""), s))
+    md5Long(concat(lit(seed.toString), s))
 
   /** MinHash signature of a shingle array: array of k minima, one per
     * seeded hash family. Classic shingle→minhash (Broder 1997).

@@ -13,11 +13,13 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val df = Seq("a b c d").toDF("t")
-    val sh = df.select(Text.shingles($"t", 3)).head().getSeq[Any](0)
-    sh.foreach { e =>
-      println(s"elem class=${e.getClass.getName} value='${e}' bytes=${e.toString.getBytes("UTF-8").toList}")
-    }
+    Seq(1).toDF("x").select(
+      Text.md5Long(lit("0w1 w2 w3")).as("md5long_pre"),
+      Text.md5Long(concat(lit("0"), lit("w1 w2 w3"))).as("md5long_concat"),
+      md5(concat(lit("0"), lit("w1 w2 w3"))).as("md5hex"),
+      substring(md5(concat(lit("0"), lit("w1 w2 w3"))), 1, 15).as("sub15"),
+      conv(lit("93e91928140c468"), 16, 10).as("conv_direct")
+    ).show(false)
     spark.stop()
   }
 }
