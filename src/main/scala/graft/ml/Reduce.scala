@@ -1,0 +1,31 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dimensionality reduction (reference F8: PCA →
+  * principal_components[k], README.md:472-483). MLlib PCA over an
+  * ArrayType column; output appended as `principal_components`
+  * (ArrayType(Double), length k) — the nested-record field of the
+  * fully-processed message (README.md:528-530).
+  *
+  * Scale: PCA fit is a single distributed covariance computation
+  * (O(d²) driver memory, fine for signal/embedding widths); transform
+  * is a narrow per-row matmul.
+  */
+object Reduce {
+
+  /** Fit PCA(k) on `arrayCol` and append `principal_components`. */
+  def pca(df: DataFrame, arrayCol: String, k: Int): DataFrame = {
+    val withVec = df.withColumn("__vec",
+      array_to_vector(col(arrayCol).cast("array<double>")))
+    val model = new PCA().setK(k)
+      .setInputCol("__vec").setOutputCol("__pc")
+      .fit(withVec)
+    model.transform(withVec)
+      .withColumn("principal_components", vector_to_array(col("__pc")))
+      .drop("__vec", "__pc")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.functions.Signal
+
+/** Structured Streaming surface (SURVEY.md §2.7, T1-T8). Every
+  * transform is the SAME DataFrame program as its batch twin — the
+  * reference's edge/preprocessing pipelines (§3.1/§3.2) become one
+  * declarative plan that runs under either execution mode.
+  *
+  * Reference semantics mapped:
+  *  - T1 exactly-once: checkpoint + idempotent file sink (the
+  *    reference's manual commit-after-produce is at-least-once;
+  *    README.md:265-273 — ours is stronger by construction)
+  *  - T2/T3 windows + watermark: 1-min tumbling features over event
+  *    time, late data dropped past the watermark
+  *  - T4 keyed state: retry counting via flatMapGroupsWithState
+  *    replaces the Redis processing:{id} hash (README.md:280-289)
+  *  - T5 session windows; T7 streaming dedup; T8 DLQ routing
+  */
+object Streaming {
+
+  /** README.md:99 MAX_RETRIES. */
+  val MaxRetries = 5
+
+  // ---- T2/T3: tumbling event-time feature window -----------------------
+
+  /** The reference's 60-s feature aggregation (TechSpikeDataPipeline.md:
+    * 54-64): per machine per window, RMS/peak/kurtosis of the signal.
+    * Map-side partial aggregation keeps the shuffle at |keys × windows|.
+    */
+  def windowedFeatures(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(
+        Signal.rms(col(valueCol)).as("rms"),
+        Signal.peak(col(valueCol)).as("peak"),
+        Signal.kurtosisPop(col(valueCol)).as("kurtosis"),
+        count(lit(1)).as("n"))
+
+  // ---- T5: session windows --------------------------------------------
+
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  // ---- T7: streaming dedup --------------------------------------------
+
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+      idCols: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  // ---- T8/P6: DLQ routing ---------------------------------------------
+
+  /** Split a frame on a validity predicate; invalid rows become DLQ
+    * records wrapping the original payload (README.md:383-388 contract:
+    * original_message + error_count + last_error_time).
+    */
+  def dlqRecord(df: DataFrame, errorCount: Int = 1): DataFrame =
+    df.select(
+      to_json(struct(df.columns.map(col): _*)).as("original_message"),
+      lit(errorCount).as("error_count"),
+      current_timestamp().as("last_error_time"))
+
+  /** foreachBatch fan-out: valid rows → processed path, invalid → DLQ
+    * path, both parquet (idempotent per epoch).
+    */
+  def routeToSinks(df: DataFrame, isValid: org.apache.spark.sql.Column,
+      processedPath: String, dlqPath: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val flagged = batch.withColumn("__valid", isValid).cache()
+        try {
+          flagged.filter(col("__valid")).drop("__valid")
+            .write.mode("append").parquet(processedPath)
+          dlqRecord(flagged.filter(!col("__valid")).drop("__valid"))
+            .write.mode("append").parquet(dlqPath)
+        } finally flagged.unpersist()
+      }
+      .start()
+
+  // ---- T4: keyed retry state ------------------------------------------
+
+  case class Attempt(id: Long, ok: Boolean, payload: String, atMillis: Long)
+  case class RetryState(retries: Int)
+  /** route: "processed" | "dlq" (B6 contract fields for dlq). */
+  case class Routed(id: Long, route: String, error_count: Int,
+      last_error_millis: Long, payload: String)
+
+  /** Per-id retry loop replacing the reference's Redis processing-state
+    * hash + retry topic (README.md:280-289, 372-391): failures
+    * accumulate per key; after MaxRetries total failures the record is
+    * emitted as a DLQ row; a success emits a processed row and clears
+    * state.
+    */
+  def retryRoute(ds: Dataset[Attempt])(
+      implicit spark: SparkSession): Dataset[Routed] = {
+    import spark.implicits._
+    ds.groupByKey(_.id)
+      .flatMapGroupsWithState[RetryState, Routed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, attempts: Iterator[Attempt], state: GroupState[RetryState]) =>
+          var retries = state.getOption.map(_.retries).getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
+          var done = false
+          attempts.foreach { a =>
+            if (!done) {
+              if (a.ok) {
+                out += Routed(id, "processed", retries, a.atMillis, a.payload)
+                state.remove(); done = true
+              } else {
+                retries += 1
+                if (retries >= MaxRetries) {
+                  out += Routed(id, "dlq", retries, a.atMillis, a.payload)
+                  state.remove(); done = true
+                } else {
+                  state.update(RetryState(retries))
+                }
+              }
+            }
+          }
+          out.iterator
+      }
+  }
+
+  // ---- T1: exactly-once file pipeline ---------------------------------
+
+  /** Run a streaming frame to parquet with checkpointing under
+    * Trigger.AvailableNow — restart-safe, each input row lands exactly
+    * once in the sink (checkpoint offsets + file-sink manifest).
+    */
+  def runToParquet(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

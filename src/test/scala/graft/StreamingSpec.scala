@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Attempt, Routed}
+
+/** Streaming semantics tests (SURVEY.md §2.7, T1-T8) driven by
+  * MemoryStream / file sources with processAllAvailable — the §5.2
+  * strategy.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val ss: org.apache.spark.sql.SparkSession = spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  case class Ev(ts: java.sql.Timestamp, machine: String, value: Double)
+
+  test("T2: tumbling window computes per-key features") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.windowedFeatures(in.toDF(), "ts", "machine", "value")
+      .writeStream.format("memory").queryName("t2out")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:00:10"), "m1", 3.0),
+        Ev(ts("2024-01-01 00:00:20"), "m1", 4.0),
+        Ev(ts("2024-01-01 00:01:10"), "m1", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("t2out").collect()
+      assert(rows.length == 2) // two 1-minute windows
+      val w0 = rows.find(_.getLong(5) == 2).get
+      assert(math.abs(w0.getDouble(2) - math.sqrt((9.0 + 16.0) / 2)) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("T3: rows later than the watermark are dropped") {
+    val in = MemoryStream[Ev](spark)
+    val agg = Streaming.windowedFeatures(in.toDF(), "ts", "machine", "value",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("t3out")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(ts("2024-01-01 01:00:00"), "m1", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      in.addData(Ev(ts("2024-01-01 02:00:00"), "m1", 2.0))
+      q.processAllAvailable()
+      // this event is hours late — must be dropped, not create a window
+      in.addData(Ev(ts("2024-01-01 00:30:00"), "m1", 99.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 03:00:00"), "m1", 3.0))
+      q.processAllAvailable()
+      val windows = spark.table("t3out")
+        .select(col("window.start").cast("string")).as[String].collect()
+      assert(!windows.exists(_.contains("00:30")), s"late row leaked: ${windows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("T5: session window closes on gap") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.sessionCounts(in.toDF(), "ts", "machine", gap = "30 minutes")
+      .writeStream.format("memory").queryName("t5out")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 00:00:00"), "m1", 1.0),
+        Ev(ts("2024-01-01 00:10:00"), "m1", 1.0), // same session
+        Ev(ts("2024-01-01 01:00:00"), "m1", 1.0)) // gap > 30min → new session
+      q.processAllAvailable()
+      val counts = spark.table("t5out").select($"n_events").as[Long].collect().sorted
+      assert(counts.toList == List(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("T7: dropDuplicatesWithinWatermark removes stream dupes") {
+    case class Msg(id: Long, ts: java.sql.Timestamp)
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val df = in.toDF().toDF("id", "ts")
+    val q = Streaming.dedupWithinWatermark(df, "ts", Seq("id"))
+      .writeStream.format("memory").queryName("t7out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 00:00:01")), (1L, ts("2024-01-01 00:00:02")),
+        (2L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 00:00:04"))) // dup within watermark
+      q.processAllAvailable()
+      assert(spark.table("t7out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
+    val in = MemoryStream[Attempt](spark)
+    val q = Streaming.retryRoute(in.toDS())
+      .writeStream.format("memory").queryName("t4out")
+      .outputMode("append").start()
+    try {
+      // id=1 fails 5 times → dlq with error_count=5; id=2 fails twice then ok
+      (1 to 4).foreach { i => in.addData(Attempt(1, ok = false, "p1", i)) }
+      in.addData(Attempt(2, ok = false, "p2", 1))
+      q.processAllAvailable()
+      in.addData(Attempt(1, ok = false, "p1", 5))
+      in.addData(Attempt(2, ok = false, "p2", 2))
+      in.addData(Attempt(2, ok = true, "p2", 3))
+      q.processAllAvailable()
+      val routed = spark.table("t4out").as[Routed].collect()
+      val r1 = routed.find(_.id == 1).get
+      assert(r1.route == "dlq" && r1.error_count == 5)
+      val r2 = routed.find(_.id == 2).get
+      assert(r2.route == "processed" && r2.error_count == 2)
+      assert(routed.length == 2)
+    } finally q.stop()
+  }
+
+  test("T8: foreachBatch DLQ fan-out writes both sinks with B6 contract") {
+    val dir = Files.createTempDirectory("graft_dlq_").toString
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.routeToSinks(in.toDF(), col("value") >= 0,
+      s"$dir/processed", s"$dir/dlq", s"$dir/cp")
+    try {
+      in.addData(Ev(ts("2024-01-01 00:00:00"), "m1", 5.0),
+        Ev(ts("2024-01-01 00:00:01"), "m1", -1.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/processed").count() == 1)
+      val dlq = spark.read.parquet(s"$dir/dlq")
+      assert(dlq.columns.toSet ==
+        Set("original_message", "error_count", "last_error_time"))
+      val rec = dlq.head()
+      assert(rec.getAs[String]("original_message").contains("-1.0"))
+      assert(rec.getAs[Int]("error_count") == 1)
+    } finally q.stop()
+  }
+
+  test("T1: checkpointed file pipeline is exactly-once across restart") {
+    val dir = Files.createTempDirectory("graft_eo_").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = Streaming.runToParquet(stream, out, cp)
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // restart with no new data → nothing reprocessed
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // add one file, restart → only the new rows appended
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+    assert(spark.read.parquet(out).select(sum($"id")).head().getLong(0) == 6L)
+  }
+}
