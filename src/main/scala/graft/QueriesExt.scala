@@ -63,13 +63,17 @@ object QueriesExt {
     * key stands in for an LSH bucket at scale — never all-pairs).
     */
   def q38(s: SparkSession, d: String): DataFrame = {
+    // norms computed ONCE per vector (narrow) before the pair join —
+    // the join then evaluates only the dot product per pair
     val e = embeddings(s, d)
+      .withColumn("nrm", Vectors.norm(col("embedding")))
     val a = e.select(col("vec_id").as("a_id"), col("label"),
-      col("embedding").as("a_emb"))
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
-      col("embedding").as("b_emb"))
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
-      .withColumn("cos", Vectors.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos",
+        Vectors.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("a_id"), col("b_id"))

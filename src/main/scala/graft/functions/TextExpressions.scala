@@ -1,0 +1,75 @@
+package graft.functions
+
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass shingle hashing for near-dup candidate generation.
+  *
+  * The composable form (Text.shingles → array_distinct → xxhash64 per
+  * element) walks interpreted higher-order lambdas and materializes
+  * every n-gram string three times (size + explode + the
+  * InferFiltersFromGenerate guard). This expression does one pass per
+  * document: tokenize on ' ' (split(" ", -1) semantics — empties
+  * kept), compose each word n-gram, XXH64 the bytes, and emit the
+  * DISTINCT hashes (first-occurrence order).
+  *
+  * Count parity with list_distinct(shingles) holds modulo 64-bit hash
+  * collisions (~|shingles|²/2⁶⁵ — below every rounding threshold used
+  * by the oracles). CodegenFallback is fine here: the per-call work is
+  * O(doc length), dwarfing the call overhead — unlike per-element
+  * lambda interpretation.
+  */
+object TextExpressions {
+
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      // split(" ", -1) semantics: keep empty tokens, no regex
+      val toks = mutable.ArrayBuffer.empty[String]
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          toks += text.substring(start, i); start = i + 1
+        }
+        i += 1
+      }
+      // same window count as Text.shingles: max(len - n + 1, 1) grams,
+      // window truncated at the end of the doc
+      val grams = math.max(toks.length - n + 1, 1)
+      val seen = new mutable.LinkedHashSet[Long]
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      while (g < grams) {
+        sb.setLength(0)
+        var k = g
+        val end = math.min(g + n, toks.length)
+        while (k < end) {
+          if (k > g) sb.append(' ')
+          sb.append(toks(k)); k += 1
+        }
+        val u = UTF8String.fromString(sb.toString)
+        seen += XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        g += 1
+      }
+      new GenericArrayData(seen.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Distinct XXH64 hashes of word n-gram shingles. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.{GraftShim => ExpressionUtils}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, NumericType}
+
+/** Native codegen'd vector kernels. The higher-order-function forms
+  * (zip_with + aggregate) are CodegenFallback in Spark — interpreted,
+  * boxing every element — which dominates all-pairs similarity joins
+  * (q38: |pairs| × dim evaluations). These expressions generate a tight
+  * primitive loop instead, keeping the hot path inside whole-stage
+  * codegen.
+  *
+  * Semantics exactly match the HOF forms used by the DuckDB oracles:
+  * cast each element to double FIRST, multiply, then accumulate
+  * left-to-right (same IEEE op order → bit-identical results, so
+  * swapping implementations cannot break hash parity). A null element
+  * or null input yields null, like zip_with/aggregate.
+  */
+object VectorExpressions {
+
+  private def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"expected array type, got $other")
+  }
+
+  private def getter(et: DataType, arr: String, i: String): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(
+      s"unsupported element type $other")
+  }
+
+  private def toDouble(et: DataType, arr: ArrayData, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"unsupported element type $other")
+  }
+
+  /** dot(a, b) = Σ (double)a[i] * (double)b[i], sequential. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val la = elemType(left.dataType); val lb = elemType(right.dataType)
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += toDouble(la, a, i) * toDouble(lb, b, i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val la = elemType(left.dataType); val lb = elemType(right.dataType)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $s += (${getter(la, a, i)}) * (${getter(lb, b, i)});
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** sumsq(a) = Σ ((double)a[i])², sequential — the RMS/norm kernel. */
+  case class SumSq(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val et = elemType(child.dataType)
+      var s = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = toDouble(et, a, i); s += x * x
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val et = elemType(child.dataType)
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  double $x = ${getter(et, a, i)};
+           |  $s += $x * $x;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sumsq(a: Column): Column =
+    ExpressionUtils.column(SumSq(ExpressionUtils.expression(a)))
+}

@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   * bit-identical IEEE arithmetic in the same left-to-right fold order.
   */
 object Vectors {
-  private def d(x: Column): Column = x.cast("double")
 
-  /** Dot product via zip_with + sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+  /** Dot product — native codegen'd expression (VectorExpressions);
+    * same element-cast + left-to-right accumulation as the zip_with +
+    * aggregate fold it replaces, so oracle parity is unchanged.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(Signal.arraySumSq(a))
+  def norm(a: Column): Column = sqrt(VectorExpressions.sumsq(a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -58,25 +58,45 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
-    * shingle (inverted-index join), filtered at `minJaccard`.
-    * |A∩B| from the join, |A| and |B| from per-doc distinct counts.
+    * shingle, filtered at `minJaccard`.
+    *
+    * Shape: inverted index as ONE shuffle on the 8-byte shingle hash
+    * (TextExpressions.ShingleHashes — single-pass, distinct, no string
+    * arrays), pairs generated inside each posting bucket, then one
+    * shuffle on the pair key. Per-doc set sizes ride along on the
+    * postings, so no re-join afterwards. |A∩B| = number of buckets
+    * containing the pair; jaccard = inter / (|A|+|B|-inter).
+    *
+    * Scale: pair fan-out is Σ df² over shingles. A df cap (drop
+    * ultra-common shingles before pairing — they carry no similarity
+    * signal) bounds the quadratic term at 100 TB; pass maxDf>0 to
+    * enable (the exact oracle-checked queries keep it off).
     */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
-      n: Int, minJaccard: Double): DataFrame = {
-    val sh = df.select(id.as("doc_id"),
-        explode(array_distinct(Text.shingles(text, n))).as("shingle"))
-    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(szs.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(szs.as("sb"), col("b_id") === col("sb.doc_id"))
+      n: Int, minJaccard: Double, maxDf: Int = 0): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextExpressions.shingle_hashes(text, n).as("shs"))
+    val sh = base.select(
+      struct(col("doc_id"), size(col("shs")).as("n_sh")).as("dn"),
+      explode(col("shs")).as("h"))
+    val buckets0 = sh.groupBy(col("h")).agg(collect_list(col("dn")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val buckets = if (maxDf > 0) buckets0.filter(size(col("ds")) <= maxDf)
+      else buckets0
+    // all ordered pairs within a bucket, smaller doc_id first
+    val pairs = buckets.select(explode(flatten(
+      transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          when(a.getField("doc_id") < b.getField("doc_id"),
+            struct(a.as("a"), b.as("b")))
+            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p"))
+    pairs
+      .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"))
+          (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
