@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import graft.functions.TextExpressions.ShingleHashes
+import graft.functions.VectorExpressions.{DotProduct, SumSq}
+import graft.ml.Fft
+
+/** SQL surface: registers the library's custom kernels so
+  * `spark.sql(...)` users get the same operators as the Column API
+  * (the reference's COLUMNS-clause extensibility point,
+  * FeatureEngineeringApproaches.md:229-238).
+  *
+  * Built-in-composable kernels (rms/peak/kurtosis/...) need no
+  * registration — they are plain SQL (`sqrt(avg(v*v))` etc., see
+  * Oracle.scala for the exact forms).
+  */
+object Register {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def all(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sumsq",
+      es => SumSq(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1), "n")), "scala_udf")
+    spark.udf.register("graft_dominant_freq",
+      (xs: Seq[Double], sr: Double) => Fft.dominantFreq(xs, sr))
+    spark.udf.register("graft_spectral_energy",
+      (xs: Seq[Double]) => Fft.spectralEnergy(xs))
+  }
+}

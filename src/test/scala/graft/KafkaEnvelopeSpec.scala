@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Kafka
+
+/** Kafka message-envelope transforms (S3/S4/S8), tested broker-free on
+  * binary key/value frames shaped like the connector's output.
+  */
+class KafkaEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("status", StringType)))
+
+  private def envelope(rows: (String, String)*) =
+    rows.toDF("k", "j").select(
+      $"k".cast("binary").as("key"), $"j".cast("binary").as("value"))
+
+  test("valid JSON parses into typed columns with the pinned schema") {
+    val env = envelope(("1", """{"id":1,"v":2.5,"status":"Good"}"""))
+    val out = Kafka.validRecords(Kafka.parseJsonMessages(env, schema))
+    val r = out.head()
+    assert(out.columns.toSeq == Seq("key", "id", "v", "status"))
+    assert(r.getString(0) == "1" && r.getLong(1) == 1L && r.getDouble(2) == 2.5)
+  }
+
+  test("malformed JSON routes to the invalid split, not an exception") {
+    val env = envelope(("1", """{"id":1,"v":2.5,"status":"Good"}"""),
+      ("2", """{not json at all"""))
+    val parsed = Kafka.parseJsonMessages(env, schema)
+    assert(Kafka.validRecords(parsed).count() == 1)
+    assert(Kafka.invalidJson(parsed).count() == 1)
+    assert(Kafka.invalidJson(parsed).select($"key_str").as[String].head() == "2")
+  }
+
+  test("toEnvelope round-trips through parse") {
+    val typed = Seq((7L, 1.5, "Good")).toDF("id", "v", "status")
+    val env = Kafka.toEnvelope(typed, "id")
+    assert(env.columns.toSeq == Seq("key", "value"))
+    val back = Kafka.validRecords(Kafka.parseJsonMessages(
+      env.select($"key".cast("binary").as("key"),
+        $"value".cast("binary").as("value")), schema))
+    val r = back.head()
+    assert(r.getString(0) == "7" && r.getLong(1) == 7L
+      && r.getDouble(2) == 1.5 && r.getString(3) == "Good")
+  }
+
+  test("source/sink option maps carry the reference's config") {
+    val src = Kafka.sourceOptions("broker:9092", "cnc.raw",
+      startingOffsets = "earliest", maxOffsetsPerTrigger = 100)
+    assert(src("subscribe") == "cnc.raw")
+    assert(src("maxOffsetsPerTrigger") == "100")
+    assert(Kafka.sinkOptions("broker:9092", "cnc.processed")("topic") == "cnc.processed")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+class RegisterSpec extends SparkSpec {
+
+  test("custom kernels are callable from spark.sql") {
+    Register.all(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  graft_sumsq(array(3.0D, 4.0D)) AS ss,
+        |  size(graft_shingle_hashes('a b c d', 3)) AS n_sh,
+        |  graft_spectral_energy(array(1.0D, 2.0D)) AS se
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getInt(2) == 2)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-9)
+  }
+
+  test("SQL query over a table using registered kernels") {
+    Register.all(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val top = spark.sql(
+      """SELECT e.vec_id,
+        |  graft_dot(e.embedding, p.embedding)
+        |    / (sqrt(graft_sumsq(e.embedding)) * sqrt(graft_sumsq(p.embedding))) AS cos
+        |FROM emb e JOIN emb p ON p.vec_id = 0 AND e.vec_id <> 0
+        |ORDER BY cos DESC LIMIT 3""".stripMargin)
+    assert(top.count() == 3)
+    val cols = top.collect().map(_.getDouble(1))
+    assert(cols.sameElements(cols.sortBy(-_)))
+  }
+}
