@@ -157,14 +157,17 @@ object Queries {
       .select(col("event_id"), col("c_name"), col("c_mktsegment"), col("value"))
       .orderBy(col("event_id"))
 
-  /** S5/S6: partitioned parquet lake sink — writes partitionBy(event_type)
-    * (the machine/year/month layout analogue, README.md:541-573), reads
-    * the partitioned layout back, and aggregates per partition. The
-    * read-back count proves partition-column round-trip.
+  /** S5/S6: partitioned parquet lake sink — two-level layout
+    * event_type/day (the reference's machine/year/month dirs,
+    * README.md:541-573), read back through partition discovery and
+    * re-aggregated. Partition pruning: a reader filtering one
+    * event_type/day touches one directory. The read-back count proves
+    * the partition-column round-trip.
     */
   def q17(s: SparkSession, d: String): DataFrame = {
     val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    ev(s, d).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    ev(s, d).withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
     s.read.parquet(out)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))

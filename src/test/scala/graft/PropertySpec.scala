@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Signal, Text}
+import graft.operators.Dedup
+
+/** Scalacheck-generator property suites (SURVEY.md §5.2 #3), drawn
+  * with a fixed seed so runs are deterministic. (scalatestplus is not
+  * in the offline cache, so Gen is driven directly.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def draws[T](g: Gen[T], n: Int, seed0: Long): Seq[T] = {
+    var seed = Seed(seed0)
+    (1 to n).flatMap { _ =>
+      val v = g.apply(params, seed); seed = seed.next; v
+    }
+  }
+
+  private val signalGen: Gen[List[Double]] =
+    Gen.chooseNum(2, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e4, 1e4)))
+
+  test("property: rms/peak invariants on arbitrary signals") {
+    draws(signalGen, 15, 42L).filter(_.exists(_ != 0.0)).foreach { xs =>
+      val row = Seq(xs).toDF("a").select(
+        Signal.arrayRms($"a"), Signal.arrayPeak($"a")).head()
+      val (rms, peak) = (row.getDouble(0), row.getDouble(1))
+      assert(rms >= 0 && peak >= 0, s"negative on $xs")
+      assert(rms <= peak + 1e-9, s"rms > peak on $xs")
+      assert(peak <= rms * math.sqrt(xs.length.toDouble) + 1e-9,
+        s"peak > rms*sqrt(n) on $xs")
+    }
+  }
+
+  test("property: kurtosis shift invariance (array form)") {
+    draws(signalGen, 10, 7L)
+      .filter(xs => xs.length >= 4 && xs.distinct.length > 1).foreach { xs =>
+        val k0 = Seq(xs).toDF("a").select(Signal.arrayKurtosis($"a"))
+          .head().getDouble(0)
+        val k1 = Seq(xs.map(_ + 123.0)).toDF("a")
+          .select(Signal.arrayKurtosis($"a")).head().getDouble(0)
+        if (!k0.isNaN && !k1.isNaN && math.abs(k0) < 1e6)
+          assert(math.abs(k0 - k1) < 1e-3 * math.max(1.0, math.abs(k0)),
+            s"kurtosis not shift-invariant on $xs: $k0 vs $k1")
+      }
+  }
+
+  test("property: exact dedup is idempotent and count-preserving") {
+    val textGen = Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l"))
+    draws(textGen, 5, 11L).filter(_.nonEmpty).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.exact(df, $"text", $"doc_id")
+      assert(once.agg(sum($"n_copies")).head().getLong(0) == texts.length)
+      val reps = once.select($"keep_id".as("doc_id")).join(df, "doc_id")
+      val twice = Dedup.exact(reps, $"text", $"doc_id")
+      assert(twice.count() == once.count())
+      assert(twice.agg(max($"n_copies")).head().getLong(0) == 1L)
+    }
+  }
+
+  test("property: union of a disjoint split is the identity (U1/P5)") {
+    val e = Tables.events(spark, sf)
+    val a = e.filter($"value" > 100); val b = e.filter($"value" <= 100)
+    assert(a.unionByName(b).count() == e.filter($"value".isNotNull).count())
+  }
+
+  test("property: minhash signature minima are monotone under union") {
+    // sig(A ∪ B)[i] <= min(sig(A)[i], sig(B)[i]) — the minhash axiom
+    val ta = "a b c d e"; val tb = "f g h i j"
+    val df = Seq(ta, tb, s"$ta $tb").toDF("t")
+    val sigs = df.select(Text.minhashSignature(Text.shingles($"t", 2), 4))
+      .collect().map(_.getSeq[Long](0))
+    (0 until 4).foreach { i =>
+      assert(sigs(2)(i) <= math.min(sigs(0)(i), sigs(1)(i)))
+    }
+  }
+
+  test("sketches: approx_count_distinct within rsd, percentile_approx sane") {
+    val e = Tables.events(spark, sf)
+    val row = e.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.05).as("approx"),
+      percentile_approx($"value", lit(0.5), lit(1000)).as("p50"),
+      expr("percentile_approx(value, 0.99, 1000)").as("p99")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"HLL too far off: $approx vs $exact")
+    val (p50, p99) = (row.getDouble(2), row.getDouble(3))
+    assert(p50 > 0 && p50 < p99)
+  }
+}
