@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — the time-series enrichment the
+  * reference's dual-timestamp model implies (SURVEY.md §7.6 stretch):
+  * for every left row, the latest right row with
+  * `right.ts <= left.ts` (and within `toleranceSec`, if set) per key.
+  *
+  * Built by COMPOSITION, not a custom physical operator: tag + union
+  * both sides, one window per key ordered by (ts, side), carry the
+  * last non-null right payload forward, keep left rows. Cost = ONE
+  * shuffle on the key (the window partition) — the same exchange a
+  * sort-merge join would pay, with no range-explosion. This is the
+  * preferred shape at 100 TB: it inherits AQE, spills, and codegen
+  * instead of hand-writing a BinaryExecNode.
+  */
+object AsOf {
+
+  /** @param left        left frame
+    * @param right       right frame
+    * @param key         equi-key column name (both sides)
+    * @param leftTs      left event-time column name
+    * @param rightTs     right event-time column name
+    * @param rightVals   right payload column names to carry
+    * @param toleranceSec max allowed left.ts - right.ts age; 0 = any
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      toleranceSec: Long = 0L): DataFrame = {
+    val leftCols = left.columns
+    // side 0 sorts before side 1 at equal ts → a right row at exactly
+    // left.ts matches (asof <= semantics)
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__rts", lit(null).cast(right.schema(rightTs).dataType))
+      .select(Seq(col("__side"), col("__ts"), col("__rts"), col(key)) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__rts", col(rightTs))
+      .select(Seq(col("__side"), col("__ts"), col("__rts"), col(key)) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val withVals = rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"__m_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val fresh = if (toleranceSec > 0)
+      col("__m_ts").isNotNull &&
+        (col("__ts").cast("double") - col("__m_ts").cast("double") <= toleranceSec)
+    else col("__m_ts").isNotNull
+    withVals.filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        Seq(when(fresh, col("__m_ts")).otherwise(lit(null)).as("matched_ts")) ++
+        rightVals.map(c =>
+          when(fresh, col(s"__m_$c")).otherwise(lit(null)).as(c)): _*)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Skew}
+
+/** As-of join, skew salting, and bucketed co-located joins — the
+  * cluster-scale operator family.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before left.ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:00:30"), 101.0),
+      (2L, ts("2024-01-01 10:00:10"), 55.0)
+    ).toDF("sym", "ts", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.5),
+      (1L, ts("2024-01-01 10:00:20"), 100.5),
+      (1L, ts("2024-01-01 10:00:30"), 100.9), // equal ts → matches
+      (2L, ts("2024-01-01 10:00:15"), 54.0)   // after the trade → no match
+    ).toDF("sym", "qts", "bid")
+    val out = AsOf.join(trades, quotes, "sym", "ts", "qts", Seq("bid"))
+      .orderBy($"sym", $"ts")
+    val rows = out.collect()
+    assert(rows(0).getAs[Double]("bid") == 99.5)   // 10:00:05 → 10:00:00 quote
+    assert(rows(1).getAs[Double]("bid") == 100.9)  // 10:00:30 → equal-ts quote
+    assert(rows(2).isNullAt(rows(2).fieldIndex("bid"))) // no quote ≤ 10:00:10
+  }
+
+  test("as-of join tolerance nulls out stale matches") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "ts", "v")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "m")
+    val strict = AsOf.join(l, r, "k", "ts", "rts", Seq("m"), toleranceSec = 60)
+    assert(strict.head().isNullAt(strict.head().fieldIndex("m")))
+    val loose = AsOf.join(l, r, "k", "ts", "rts", Seq("m"), toleranceSec = 4 * 3600)
+    assert(loose.head().getAs[Double]("m") == 7.0)
+  }
+
+  test("salted stats == direct stats (skewed key)") {
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy($"event_type".as("key"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum"),
+        min($"value").as("min"), max($"value").as("max"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = Skew.saltedStats(e, $"event_type", $"event_id", $"value", 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, (n, s, mn, mx)) =>
+      val (n2, s2, mn2, mx2) = salted(k)
+      assert(n == n2 && mn == mn2 && mx == mx2)
+      assert(math.abs(s - s2) < 1e-6 * math.abs(s))
+    }
+  }
+
+  test("salted join == plain join") {
+    val e = Tables.events(spark, sf).limit(500)
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 3), ("error", 4),
+      ("signup", 5)).toDF("event_type", "weight")
+    val plain = e.join(dim, "event_type").agg(sum($"weight" * $"value")).head().getDouble(0)
+    val salted = Skew.saltedJoin(e, dim, "event_type", $"event_id", 4)
+      .agg(sum($"weight" * $"value")).head().getDouble(0)
+    assert(math.abs(plain - salted) < 1e-6 * math.abs(plain))
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // warehouse.dir is static config — bucketed tables land in the
+    // default ./spark-warehouse (gitignored), dropped in finally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val c = Tables.customer(spark, sf)
+      val o = Tables.orders(spark, sf)
+      c.write.mode("overwrite").bucketBy(4, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("cust_b")
+      o.write.mode("overwrite").bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("ord_b")
+      val joined = spark.table("cust_b")
+        .join(spark.table("ord_b"),
+          col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // bucketing on both join keys → no shuffle exchange in the plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+      assert(joined.count() == o.count()) // every order has a customer
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
