@@ -103,6 +103,58 @@ object QueriesExt {
       length(col("text")).as("len_text"))
       .orderBy(col("doc_id"))
 
+  /** Exact interpolated percentiles (A-family sketch twin: the exact
+    * form is oracle-checkable; percentile_approx is the 100 TB path,
+    * property-tested in PropertySpec).
+    */
+  def q41(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("event_type"))
+
+  /** U2: intersect — users who both click and purchase. */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** A5: rollup (lang → lang×source hierarchy margins). */
+  def q43(s: SparkSession, d: String): DataFrame =
+    documents(s, d).rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .orderBy(col("lang"), col("source"))
+
+  /** A5: explicit GROUPING SETS ((lang), (source)). */
+  def q44(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .orderBy(col("lang"), col("source"))
+
+  /** W4 range frame: trailing-hour event count per user at each event
+    * (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch
+    * seconds).
+    */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("double"))
+      .rangeBetween(-3600, 0)
+    events(s, d)
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
     "q33_quality_score" -> (q33 _),
@@ -112,7 +164,12 @@ object QueriesExt {
     "q37_ngram_jaccard" -> (q37 _),
     "q38_embed_neardup" -> (q38 _),
     "q39_ann_lsh" -> (q39 _),
-    "q40_token_stats" -> (q40 _)
+    "q40_token_stats" -> (q40 _),
+    "q41_percentiles" -> (q41 _),
+    "q42_intersect" -> (q42 _),
+    "q43_rollup" -> (q43 _),
+    "q44_grouping_sets" -> (q44 _),
+    "q45_range_window" -> (q45 _)
   )
 }
 
@@ -248,6 +305,35 @@ object OracleExt {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,
         |  n_chars, length(text) AS len_text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q43_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "q44_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY lang, source""".stripMargin,
+
+    "q45_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
