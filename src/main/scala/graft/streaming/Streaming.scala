@@ -132,6 +132,24 @@ object Streaming {
       }
   }
 
+  // ---- stream-stream join ---------------------------------------------
+
+  /** Watermarked stream-stream inner join: left events matched to
+    * right events on `key` within `withinSec` AFTER the left event —
+    * the two-zone correlation the reference's parallel raw/processed
+    * paths imply (README.md:141-149). Both sides carry watermarks so
+    * the join state is bounded and eventually purged.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, withinSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(key) === col(s"r_$key") &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+  }
+
   // ---- T1: exactly-once file pipeline ---------------------------------
 
   /** Run a streaming frame to parquet with checkpointing under

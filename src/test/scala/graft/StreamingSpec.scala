@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound, bounded state") {
+    val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val l = imps.toDF().toDF("ad", "its")
+    val r = clicks.toDF().toDF("r_ad", "cts")
+    val joined = Streaming.streamStreamJoin(
+      l, r, "ad", "its", "cts", withinSec = 60)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:01:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:00:30")),  // within 60s of imp 1 → match
+        (2L, ts("2024-01-01 00:05:00")))  // 4 min after imp 2 → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("T1: checkpointed file pipeline is exactly-once across restart") {
     val dir = Files.createTempDirectory("graft_eo_").toString
     val src = s"$dir/src"; val out = s"$dir/out"; val cp = s"$dir/cp"
