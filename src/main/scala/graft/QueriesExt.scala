@@ -155,6 +155,18 @@ object QueriesExt {
       .orderBy(col("event_id"))
   }
 
+  /** MinHash LSH banding candidate pairs (shingle → minhash → band →
+    * bucket-join): 8 hash families in 4 bands of 2; docs sharing any
+    * band bucket are candidates. On this corpus (no near-dups) the
+    * result is empty — the oracle computes the same banding in SQL, so
+    * emptiness itself is verified, and the scalatest plants dups to
+    * prove recall (TextVectorsSpec/DedupLshSpec).
+    */
+  def q46(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
+      n = 3, bands = 4, rowsPerBand = 2)
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
     "q33_quality_score" -> (q33 _),
@@ -169,7 +181,8 @@ object QueriesExt {
     "q42_intersect" -> (q42 _),
     "q43_rollup" -> (q43 _),
     "q44_grouping_sets" -> (q44 _),
-    "q45_range_window" -> (q45 _)
+    "q45_range_window" -> (q45 _),
+    "q46_minhash_lsh_pairs" -> (q46 _)
   )
 }
 
@@ -334,6 +347,28 @@ object OracleExt {
       """SELECT event_id, user_id,
         |  count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q46_minhash_lsh_pairs" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
+        .mkString(",\n  ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || " +
+          s"CAST(s${2 * b + 1} AS VARCHAR) AS bucket FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
+         |sig AS (SELECT doc_id,
+         |  $sigs
+         |FROM g),
+         |bands AS (
+         |  $bandRows
+         |)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

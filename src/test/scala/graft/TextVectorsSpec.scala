@@ -32,6 +32,22 @@ class TextVectorsSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))       // different docs → different signature
   }
 
+  test("LSH banding finds planted near-duplicates") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                       // exact dup → identical signature
+      (2L, base + " x"),                // near dup → most bands agree
+      (3L, "completely different words describing unrelated things entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(docs, $"text", $"doc_id", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup not found in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("langid picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog is here",  // en
