@@ -37,6 +37,41 @@ object Ann {
       when(dot > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** IVF-style ANN: a KMeans coarse quantizer assigns every vector to
+    * a centroid (narrow transform after a one-off fit); a query
+    * searches only the `nProbe` centroids nearest the probe. At
+    * 100 TB the cluster id is the partition/bucketing key, so a query
+    * touches nProbe partitions instead of the corpus; recall is tuned
+    * by nProbe exactly as in FAISS-style IVF indexes.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cluster")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+    val probeVec = probe.withColumn("__vec",
+      array_to_vector(col("probe_emb").cast("array<double>")))
+    // centroid list is tiny (nCentroids × dim) → rank on the driver
+    val probeArr = probeVec.head().getAs[org.apache.spark.ml.linalg.Vector]("__vec")
+    val near = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, probeArr))
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    assigned.filter(col("__cluster").isInCollection(near))
+      .crossJoin(broadcast(probe))
+      .select(col(idCol),
+        round(Vectors.cosine(col(vecCol), col("probe_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: restrict the scan to vectors in the probe's
     * bucket, then exact cosine top-k inside it.
     */

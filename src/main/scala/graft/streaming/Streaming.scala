@@ -132,6 +132,57 @@ object Streaming {
       }
   }
 
+  // ---- T4b: timeout-closed sessions (custom state machine) -------------
+
+  case class Click(user: Long, eventTime: java.sql.Timestamp) {
+    def tsMillis: Long = eventTime.getTime
+  }
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class ClosedSession(user: Long, startMillis: Long, endMillis: Long,
+      n_events: Int)
+
+  /** Session tracking as an explicit state machine with
+    * EventTimeTimeout: events extend the open session; when the
+    * watermark passes lastEvent + gap, the state times out and the
+    * CLOSED session is emitted. Demonstrates GroupState timeouts — the
+    * general form session_window can't express (e.g. per-key dynamic
+    * gaps, side outputs on close).
+    */
+  def timeoutSessions(ds: Dataset[Click], gapMillis: Long)(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    ds.withWatermark("eventTime", "10 seconds")
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsMillis)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { c =>
+              cur match {
+                case Some(s) if c.tsMillis - s.end <= gapMillis =>
+                  cur = Some(s.copy(end = c.tsMillis, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(c.tsMillis, c.tsMillis, 1))
+                case None =>
+                  cur = Some(SessionState(c.tsMillis, c.tsMillis, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   // ---- stream-stream join ---------------------------------------------
 
   /** Watermarked stream-stream inner join: left events matched to

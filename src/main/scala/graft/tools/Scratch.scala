@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOf, Skew}
+import graft.operators.Ann
 
 /** Dev scratchpad main for quick behavior probes (not part of the
   * library surface).
@@ -14,19 +14,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    // as-of: enrich each event with the latest PRIOR order of the same key
-    val ev = Tables.events(spark, d).select(col("user_id"), col("ts"), col("value"))
-    val ord = Tables.orders(spark, d)
-      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_totalprice"))
-    val enriched = AsOf.join(ev, ord, "user_id", "ts", "o_orderdate",
-      Seq("o_totalprice"))
-    println("asof rows: " + enriched.count())
-    enriched.filter(col("o_totalprice").isNotNull)
-      .orderBy("user_id", "ts").show(3, false)
-    val stats = Skew.saltedStats(Tables.events(spark, d),
-      col("event_type"), col("event_id"), col("value"), 8)
-    stats.orderBy("key").show(false)
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
+    val scan = emb.filter(col("vec_id") =!= 0)
+    println("== brute force top-5 ==")
+    Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, 5).show(false)
+    println("== IVF nProbe=2/8 top-5 ==")
+    Ann.ivfTopK(scan, "vec_id", "embedding", probe, 5, 8, 2).show(false)
     spark.stop()
   }
 }

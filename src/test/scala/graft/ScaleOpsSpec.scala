@@ -68,6 +68,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(plain - salted) < 1e-6 * math.abs(plain))
   }
 
+  test("IVF ANN: bucket-restricted search approximates brute force") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, sf)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
+    val scan = emb.filter($"vec_id" =!= 0)
+    val exact = Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing ALL centroids must recover brute force exactly
+    val full = Ann.ivfTopK(scan, "vec_id", "embedding", probe,
+      k = 10, nCentroids = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+    // probing 4 of 8 centroids: a valid top-10 with decent overlap
+    val approx = Ann.ivfTopK(scan, "vec_id", "embedding", probe,
+      k = 10, nCentroids = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    assert((approx & exact).size >= 3, s"IVF recall collapsed: ${(approx & exact).size}/10")
+  }
+
+  test("partition pruning: lake reads touch only the filtered partition") {
+    val out = "/root/repo/target/lake/prune_test"
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val q = spark.read.parquet(out).filter($"event_type" === "click")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("event_type"), s"no partition filter in:\n$planStr")
+    val clicks = q.count()
+    val all = spark.read.parquet(out).count()
+    assert(clicks > 0 && clicks < all)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // warehouse.dir is static config — bucketed tables land in the
     // default ./spark-warehouse (gitignored), dropped in finally

@@ -134,6 +134,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4b: event-time timeout closes sessions and emits them") {
+    import graft.streaming.Streaming.{Click, ClosedSession}
+    val in = MemoryStream[Click](spark)
+    val q = Streaming.timeoutSessions(in.toDS(), gapMillis = 60000L)
+      .writeStream.format("memory").queryName("t4b_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Click(1, ts("2024-01-01 00:00:00")),
+        Click(1, ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("t4b_out").count() == 0) // session still open
+      // watermark jumps far ahead → session times out and closes
+      in.addData(Click(2, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      in.addData(Click(2, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("t4b_out").as[ClosedSession].collect()
+      val s1 = closed.find(_.user == 1L)
+      assert(s1.isDefined, s"user 1 session not closed: ${closed.mkString(",")}")
+      assert(s1.get.n_events == 2)
+      assert(s1.get.endMillis - s1.get.startMillis == 30000L)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the time bound, bounded state") {
     val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
