@@ -157,15 +157,31 @@ object QueriesExt {
 
   /** MinHash LSH banding candidate pairs (shingle → minhash → band →
     * bucket-join): 8 hash families in 4 bands of 2; docs sharing any
-    * band bucket are candidates. On this corpus (no near-dups) the
-    * result is empty — the oracle computes the same banding in SQL, so
-    * emptiness itself is verified, and the scalatest plants dups to
-    * prove recall (TextVectorsSpec/DedupLshSpec).
+    * band bucket are candidates (26 pairs at sf0.01). The oracle
+    * reproduces the banding in SQL; the scalatest additionally plants
+    * duplicates to prove recall (TextVectorsSpec).
     */
   def q46(s: SparkSession, d: String): DataFrame =
     Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
       n = 3, bands = 4, rowsPerBand = 2)
       .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash near-dup pairs: 16-bit packed fingerprints, pairs with
+    * Hamming distance <= 1. The fingerprint is computed once per doc
+    * (narrow); at open scale the pair join buckets on fingerprint
+    * bit-bands exactly like minhash banding rather than all-pairs.
+    */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"),
+      Text.simhash64(Text.tokens(col("text")), 16).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= 1)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
@@ -182,7 +198,8 @@ object QueriesExt {
     "q43_rollup" -> (q43 _),
     "q44_grouping_sets" -> (q44 _),
     "q45_range_window" -> (q45 _),
-    "q46_minhash_lsh_pairs" -> (q46 _)
+    "q46_minhash_lsh_pairs" -> (q46 _),
+    "q47_simhash_pairs" -> (q47 _)
   )
 }
 
@@ -368,6 +385,20 @@ object OracleExt {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "q47_simhash_pairs" -> {
+      val shBits = (0 until 16).map { b =>
+        val mask = 1L << b
+        s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (${md5long("t")} & $mask) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${mask}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, $shBits AS sh FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 1
          |ORDER BY a_id, b_id""".stripMargin
     }
   )

@@ -70,6 +70,18 @@ object Text {
       when(vote > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** SimHash as a packed integer (bit b set iff the b-th vote is
+    * positive) — the joinable form: near-dups have small Hamming
+    * distance `bit_count(a ^ b)`.
+    */
+  def simhash64(toks: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      val vote = aggregate(
+        transform(toks, t => when(md5Long(t).bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Exact content fingerprint (md5 of full text) — X1 exact-dedup key.
     * At 100 TB: groupBy this 128-bit key instead of the full text so
     * the shuffle carries 16 bytes/row, not the document body.
