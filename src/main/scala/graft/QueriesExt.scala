@@ -172,8 +172,7 @@ object QueriesExt {
     * bit-bands exactly like minhash banding rather than all-pairs.
     */
   def q47(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d).select(col("doc_id"),
-      Text.simhash64(Text.tokens(col("text")), 16).as("sh"))
+    val sh = Dedup.simhashPacked(documents(s, d), col("text"), col("doc_id"), 16)
     val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, col("a_id") < col("b_id"))

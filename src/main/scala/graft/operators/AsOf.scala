@@ -24,8 +24,13 @@ object AsOf {
     * @param key         equi-key column name (both sides)
     * @param leftTs      left event-time column name
     * @param rightTs     right event-time column name
-    * @param rightVals   right payload column names to carry
+    * @param rightVals   right payload column names to carry; must not
+    *                    collide with left column names
     * @param toleranceSec max allowed left.ts - right.ts age; 0 = any
+    *
+    * Note: multiple right rows with identical (key, ts) are an
+    * undefined-order tie (as in every asof implementation); pre-dedup
+    * the right side on (key, ts) if that can occur.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],

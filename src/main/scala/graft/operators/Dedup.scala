@@ -27,28 +27,40 @@ object Dedup {
 
   /** Per-document MinHash signature columns s0..s{k-1} over word
     * n-gram shingles.
+    *
+    * Computed in explode+aggregate form: one interpreted shingle
+    * evaluation per doc, then k codegen'd seeded-md5 hashes per
+    * posting with map-side partial MIN — identical values to the
+    * array_min(transform(...)) Column form (Text.minhashSignature),
+    * but the hash kernel stays in codegen and is evaluated once
+    * (CollapseProject would inline the array form k× per consumer).
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
       n: Int, k: Int): DataFrame = {
-    val sig = Text.minhashSignature(Text.shingles(text, n), k)
-    val cols = (0 until k).map(i => element_at(col("sig"), i + 1).as(s"s$i"))
-    df.select(id.as("doc_id"), sig.as("sig")).select(col("doc_id") +: cols: _*)
+    val sh = df.select(id.as("doc_id"),
+      explode(Text.shingles(text, n)).as("s"))
+    sh.groupBy(col("doc_id"))
+      .agg((0 until k).map(i =>
+        min(Text.md5LongSeeded(col("s"), i)).as(s"s$i")).head,
+        (1 until k).map(i =>
+          min(Text.md5LongSeeded(col("s"), i)).as(s"s$i")): _*)
   }
 
   /** LSH banding: docs sharing any band bucket are candidate pairs.
     * k = bands * rowsPerBand hash families. Returns (a_id, b_id)
-    * candidate pairs (a < b), deduped across bands.
+    * candidate pairs (a < b), deduped across bands. Signatures come
+    * from the explode+agg minhash (codegen'd hashing); band keys
+    * concatenate each band's signature slice.
     */
   def lshCandidates(df: DataFrame, text: Column, id: Column,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sigDf = df.select(id.as("doc_id"),
-      Text.minhashSignature(Text.shingles(text, n), k).as("sig"))
-    // band key = the slice of the signature owned by that band
+    val sigDf = minhashSignature(df, text, id, n, k)
     val banded = sigDf.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), "_")): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"s${b * rowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -108,4 +120,28 @@ object Dedup {
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame =
     df.select(id.as("doc_id"),
       Text.simhashBits(Text.tokens(text), bits).as("simhash"))
+
+  /** SimHash packed into a joinable BIGINT, explode+aggregate form:
+    * one codegen'd md5 per token, per-bit vote sums with map-side
+    * combine, bits packed in a final projection. Same values as
+    * Text.simhash64 (vote sums are order-independent integers) at a
+    * fraction of the cost — the Column form interprets `bits` lambda
+    * folds per evaluation and gets inlined per consumer.
+    */
+  def simhashPacked(df: DataFrame, text: Column, id: Column,
+      bits: Int): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("t"))
+      .withColumn("h", Text.md5Long(col("t")))
+    val votes = toks.groupBy(col("doc_id"))
+      .agg((0 until bits).map(b =>
+        sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
+          .otherwise(-1)).as(s"v$b")).head,
+        (1 until bits).map(b =>
+          sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
+            .otherwise(-1)).as(s"v$b")): _*)
+    votes.select(col("doc_id"),
+      (0 until bits).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+  }
 }
