@@ -28,9 +28,11 @@ object Bench {
     // one-off GC/compilation pauses (the driver records one JSON line)
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      // failures report -1 so a broken query can never look fast
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))

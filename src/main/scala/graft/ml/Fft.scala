@@ -75,7 +75,7 @@ object Fft {
     * 1..n/2 (DC excluded), ties → lowest bin.
     */
   def dominantFreq(signal: Seq[Double], sampleRateHz: Double): Double = {
-    if (signal.isEmpty) return 0.0
+    if (signal.length < 2) return 0.0 // no non-DC bin exists
     val mag = magnitudeSpectrum(signal)
     val n = (mag.length - 1) * 2
     var best = 1; var k = 2

@@ -37,39 +37,44 @@ object AsOf {
       toleranceSec: Long = 0L): DataFrame = {
     val leftCols = left.columns
     // side 0 sorts before side 1 at equal ts → a right row at exactly
-    // left.ts matches (asof <= semantics)
+    // left.ts matches (asof <= semantics). The whole right row rides
+    // in ONE struct so last(..., ignoreNulls) carries it atomically —
+    // a matched row with NULL payload fields stays that row's NULLs
+    // rather than falling back to older rows' values per-column.
+    val rowStruct = (c: Seq[Column]) => struct(c: _*)
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
-      .withColumn("__rts", lit(null).cast(right.schema(rightTs).dataType))
-      .select(Seq(col("__side"), col("__ts"), col("__rts"), col(key)) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .withColumn("__r",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__rts",
+            right.schema(rightTs).dataType) +:
+            rightVals.map(c => org.apache.spark.sql.types.StructField(
+              c, right.schema(c).dataType)))))
+      .select(Seq(col("__side"), col("__ts"), col("__r"), col(key)) ++
+        leftCols.filterNot(_ == key).map(col): _*)
     val r = right
       .withColumn("__side", lit(0))
       .withColumn("__ts", col(rightTs))
-      .withColumn("__rts", col(rightTs))
-      .select(Seq(col("__side"), col("__ts"), col("__rts"), col(key)) ++
+      .withColumn("__r", rowStruct(
+        col(rightTs).as("__rts") +: rightVals.map(c => col(c).as(c))))
+      .select(Seq(col("__side"), col("__ts"), col("__r"), col(key)) ++
         leftCols.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val withVals = rightVals.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"__m_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val mts = col("__m").getField("__rts")
     val fresh = if (toleranceSec > 0)
-      col("__m_ts").isNotNull &&
-        (col("__ts").cast("double") - col("__m_ts").cast("double") <= toleranceSec)
-    else col("__m_ts").isNotNull
-    withVals.filter(col("__side") === 1)
+      col("__m").isNotNull &&
+        (col("__ts").cast("double") - mts.cast("double") <= toleranceSec)
+    else col("__m").isNotNull
+    carried.filter(col("__side") === 1)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        Seq(when(fresh, col("__m_ts")).otherwise(lit(null)).as("matched_ts")) ++
+        Seq(when(fresh, mts).otherwise(lit(null)).as("matched_ts")) ++
         rightVals.map(c =>
-          when(fresh, col(s"__m_$c")).otherwise(lit(null)).as(c)): _*)
+          when(fresh, col("__m").getField(c)).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -39,11 +39,12 @@ object Dedup {
       n: Int, k: Int): DataFrame = {
     val sh = df.select(id.as("doc_id"),
       explode(Text.shingles(text, n)).as("s"))
-    sh.groupBy(col("doc_id"))
-      .agg((0 until k).map(i =>
-        min(Text.md5LongSeeded(col("s"), i)).as(s"s$i")).head,
-        (1 until k).map(i =>
-          min(Text.md5LongSeeded(col("s"), i)).as(s"s$i")): _*)
+    val aggs = (0 until k).map(i =>
+      min(Text.md5LongSeeded(col("s"), i)).as(s"s$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // explode drops NULL-text docs; restore them with NULL signatures
+    // (matches the Column-form and oracle semantics)
+    df.select(id.as("doc_id")).join(sig, Seq("doc_id"), "left")
   }
 
   /** LSH banding: docs sharing any band bucket are candidate pairs.
@@ -55,7 +56,9 @@ object Dedup {
   def lshCandidates(df: DataFrame, text: Column, id: Column,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
+    // NULL signatures (NULL-text docs) have no shingles → no buckets
     val sigDf = minhashSignature(df, text, id, n, k)
+      .filter(col("s0").isNotNull)
     val banded = sigDf.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rowsPerBand).map(r =>
@@ -132,16 +135,15 @@ object Dedup {
       bits: Int): DataFrame = {
     val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("t"))
       .withColumn("h", Text.md5Long(col("t")))
-    val votes = toks.groupBy(col("doc_id"))
-      .agg((0 until bits).map(b =>
-        sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
-          .otherwise(-1)).as(s"v$b")).head,
-        (1 until bits).map(b =>
-          sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
-            .otherwise(-1)).as(s"v$b")): _*)
-    votes.select(col("doc_id"),
+    val aggs = (0 until bits).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val votes = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val packed = votes.select(col("doc_id"),
       (0 until bits).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
+    // restore NULL-text docs with NULL fingerprint (oracle parity)
+    df.select(id.as("doc_id")).join(packed, Seq("doc_id"), "left")
   }
 }

@@ -42,7 +42,8 @@ object Multimodal {
       */
     def decode(meta: MediaMeta, payload: Array[Byte]): Array[Int] = {
       val n = math.max(meta.width * meta.height, 1)
-      Array.tabulate(n)(i => payload(i % math.max(payload.length, 1)) & 0xff)
+      if (payload.isEmpty) new Array[Int](n) // zero-byte object → black frame
+      else Array.tabulate(n)(i => payload(i % payload.length) & 0xff)
     }
 
     /** Frame sampling stub: every k-th "frame" offset of a video

@@ -69,8 +69,12 @@ object Streaming {
       lit(errorCount).as("error_count"),
       current_timestamp().as("last_error_time"))
 
-  /** foreachBatch fan-out: valid rows → processed path, invalid → DLQ
-    * path, both parquet (idempotent per epoch).
+  /** foreachBatch fan-out: valid rows → processed path, invalid (or
+    * NULL-validity — never silently dropped) → DLQ path. Each epoch
+    * writes its own `epoch=<id>` directory with overwrite, so a
+    * replayed epoch after a mid-write crash lands idempotently
+    * (true exactly-once on both sinks); readers see `epoch` as an
+    * extra partition column via discovery.
     */
   def routeToSinks(df: DataFrame, isValid: org.apache.spark.sql.Column,
       processedPath: String, dlqPath: String,
@@ -78,12 +82,14 @@ object Streaming {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val flagged = batch.withColumn("__valid", isValid).cache()
+        // NULL validity counts as invalid → routed to DLQ, not lost
+        val flagged = batch
+          .withColumn("__valid", coalesce(isValid, lit(false))).cache()
         try {
           flagged.filter(col("__valid")).drop("__valid")
-            .write.mode("append").parquet(processedPath)
+            .write.mode("overwrite").parquet(s"$processedPath/epoch=$epoch")
           dlqRecord(flagged.filter(!col("__valid")).drop("__valid"))
-            .write.mode("append").parquet(dlqPath)
+            .write.mode("overwrite").parquet(s"$dlqPath/epoch=$epoch")
         } finally flagged.unpersist()
       }
       .start()
@@ -109,25 +115,25 @@ object Streaming {
       .flatMapGroupsWithState[RetryState, Routed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, attempts: Iterator[Attempt], state: GroupState[RetryState]) =>
+          // every attempt is processed in order — a terminal event
+          // (success or DLQ) closes the current cycle and later
+          // attempts in the SAME batch start a fresh one, so results
+          // do not depend on micro-batch boundaries
           var retries = state.getOption.map(_.retries).getOrElse(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
-          var done = false
           attempts.foreach { a =>
-            if (!done) {
-              if (a.ok) {
-                out += Routed(id, "processed", retries, a.atMillis, a.payload)
-                state.remove(); done = true
-              } else {
-                retries += 1
-                if (retries >= MaxRetries) {
-                  out += Routed(id, "dlq", retries, a.atMillis, a.payload)
-                  state.remove(); done = true
-                } else {
-                  state.update(RetryState(retries))
-                }
+            if (a.ok) {
+              out += Routed(id, "processed", retries, a.atMillis, a.payload)
+              retries = 0
+            } else {
+              retries += 1
+              if (retries >= MaxRetries) {
+                out += Routed(id, "dlq", retries, a.atMillis, a.payload)
+                retries = 0
               }
             }
           }
+          if (retries > 0) state.update(RetryState(retries)) else state.remove()
           out.iterator
       }
   }
@@ -189,16 +195,20 @@ object Streaming {
     * right events on `key` within `withinSec` AFTER the left event —
     * the two-zone correlation the reference's parallel raw/processed
     * paths imply (README.md:141-149). Both sides carry watermarks so
-    * the join state is bounded and eventually purged.
+    * the join state is bounded and eventually purged. Right columns
+    * are prefixed `r_` in the output automatically (both frames may
+    * use natural names, including the same `key` name).
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, withinSec: Long,
       watermark: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    val renamed = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val r = renamed.withWatermark(s"r_$rightTs", watermark)
     l.join(r, col(key) === col(s"r_$key") &&
-      col(rightTs) >= col(leftTs) &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
+      col(s"r_$rightTs") >= col(leftTs) &&
+      col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $withinSec SECONDS"))
   }
 
   // ---- T1: exactly-once file pipeline ---------------------------------

@@ -40,6 +40,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(loose.head().getAs[Double]("m") == 7.0)
   }
 
+  test("as-of join carries the matched row atomically (NULL payloads stay NULL)") {
+    val l = Seq((1L, ts("2024-01-01 00:30:00"), "ev")).toDF("k", "ts", "v")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:10:00"), Some(7.0)),
+      (1L, ts("2024-01-01 00:20:00"), Option.empty[Double]) // matched row, NULL payload
+    ).toDF("k", "rts", "m")
+    val out = AsOf.join(l, r, "k", "ts", "rts", Seq("m")).head()
+    assert(out.getAs[java.sql.Timestamp]("matched_ts") ==
+      ts("2024-01-01 00:20:00"))
+    assert(out.isNullAt(out.fieldIndex("m")), "NULL payload must not fall back to older row")
+  }
+
   test("salted stats == direct stats (skewed key)") {
     val e = Tables.events(spark, sf)
     val direct = e.groupBy($"event_type".as("key"))

@@ -17,6 +17,7 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   case class Ev(ts: java.sql.Timestamp, machine: String, value: Double)
+  case class EvN(ts: java.sql.Timestamp, machine: String, value: Option[Double])
 
   test("T2: tumbling window computes per-key features") {
     val in = MemoryStream[Ev](spark)
@@ -126,8 +127,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$dir/processed").count() == 1)
       val dlq = spark.read.parquet(s"$dir/dlq")
+      // epoch is the idempotent-write partition column
       assert(dlq.columns.toSet ==
-        Set("original_message", "error_count", "last_error_time"))
+        Set("original_message", "error_count", "last_error_time", "epoch"))
       val rec = dlq.head()
       assert(rec.getAs[String]("original_message").contains("-1.0"))
       assert(rec.getAs[Int]("error_count") == 1)
@@ -162,7 +164,7 @@ class StreamingSpec extends SparkSpec {
     val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val l = imps.toDF().toDF("ad", "its")
-    val r = clicks.toDF().toDF("r_ad", "cts")
+    val r = clicks.toDF().toDF("ad", "cts") // natural names; auto-prefixed
     val joined = Streaming.streamStreamJoin(
       l, r, "ad", "its", "cts", withinSec = 60)
     val q = joined.writeStream.format("memory").queryName("ssj_out")
@@ -176,6 +178,39 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("ssj_out").collect()
       assert(rows.length == 1)
       assert(rows.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
+  test("T8: NULL validity routes to DLQ instead of vanishing") {
+    val dir = Files.createTempDirectory("graft_dlq_null_").toString
+    val in = MemoryStream[EvN](spark)
+    val q = Streaming.routeToSinks(in.toDF(), col("value") >= 0,
+      s"$dir/processed", s"$dir/dlq", s"$dir/cp")
+    try {
+      in.addData(EvN(ts("2024-01-01 00:00:00"), "m1", Some(5.0)),
+        EvN(ts("2024-01-01 00:00:01"), "m1", None)) // NULL predicate
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/processed").count() == 1)
+      assert(spark.read.parquet(s"$dir/dlq").count() == 1) // not lost
+    } finally q.stop()
+  }
+
+  test("T4: attempts after a terminal event in the same batch are not lost") {
+    val in = MemoryStream[Attempt](spark)
+    val q = Streaming.retryRoute(in.toDS())
+      .writeStream.format("memory").queryName("t4c_out")
+      .outputMode("append").start()
+    try {
+      // success then a failure in ONE batch: failure opens a new cycle
+      in.addData(Attempt(9, ok = true, "p", 1), Attempt(9, ok = false, "p", 2))
+      q.processAllAvailable()
+      // 4 more failures → the post-success failure counts toward DLQ
+      (3 to 6).foreach(i => in.addData(Attempt(9, ok = false, "p", i)))
+      q.processAllAvailable()
+      val routed = spark.table("t4c_out").as[Routed].collect()
+      assert(routed.count(_.route == "processed") == 1)
+      val dlq = routed.filter(_.route == "dlq")
+      assert(dlq.length == 1 && dlq.head.error_count == 5)
     } finally q.stop()
   }
 

@@ -48,6 +48,19 @@ class TextVectorsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("minhash/simhash keep NULL-text docs with NULL fingerprints") {
+    import graft.operators.Dedup
+    val docs = Seq((0L, Some("a b c d")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+    assert(sig.count() == 2)
+    val nullRow = sig.filter($"doc_id" === 1).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("s0")))
+    val sh = Dedup.simhashPacked(docs, $"text", $"doc_id", 8)
+    assert(sh.count() == 2)
+    assert(sh.filter($"doc_id" === 1).head().isNullAt(1))
+  }
+
   test("langid picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog is here",  // en
