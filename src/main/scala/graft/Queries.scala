@@ -166,7 +166,11 @@ object Queries {
     */
   def q17(s: SparkSession, d: String): DataFrame = {
     val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // partition-aligned repartition: one task/file per (event_type, day)
+    // directory instead of |tasks|×|dirs| small files — the standard
+    // lake-write shape (at larger scale add a file-count salt)
     ev(s, d).withColumn("day", to_date(col("ts")))
+      .repartition(col("event_type"), col("day"))
       .write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
     s.read.parquet(out)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

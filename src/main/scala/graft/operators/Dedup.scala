@@ -64,11 +64,18 @@ object Dedup {
         concat_ws("_", (0 until rowsPerBand).map(r =>
           col(s"s${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "bucket")))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // bucket-collect instead of a self-join: the signature pipeline
+    // runs ONCE, one shuffle on (band,bucket), pairs generated inside
+    // each bucket (same shape as ngramJaccardPairs)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(
+        transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+            struct(least(a, b).as("a_id"), greatest(a, b).as("b_id"))))))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 
