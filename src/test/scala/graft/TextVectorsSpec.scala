@@ -48,6 +48,20 @@ class TextVectorsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("minhash explode-form == Column-form signatures") {
+    import graft.operators.Dedup
+    val docs = Seq((0L, "a b c d e f"), (1L, "x y z w v u t"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val fast = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+      .orderBy("doc_id").collect()
+      .map(r => (1 to 4).map(r.getLong))
+    val colForm = docs
+      .select($"doc_id", Text.minhashSignature(Text.shingles($"text", 3), 4).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toSeq)
+    assert(fast.map(_.toSeq).toSeq == colForm.toSeq)
+  }
+
   test("minhash/simhash keep NULL-text docs with NULL fingerprints") {
     import graft.operators.Dedup
     val docs = Seq((0L, Some("a b c d")), (1L, Option.empty[String]))
