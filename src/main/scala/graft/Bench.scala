@@ -35,10 +35,15 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val (p1, p2) = (pass(), pass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    // min over SUCCESSFUL passes; -1 only if both failed, and failures
+    // never deflate the summed total
+    val results = names.map { n =>
+      val ok = Seq(p1(n), p2(n)).filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

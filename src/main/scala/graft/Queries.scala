@@ -137,15 +137,13 @@ object Queries {
 
   // ---- §2.8 dedup ------------------------------------------------------
 
-  /** X1 exact dedup. Groups by the 128-bit md5 fingerprint, NOT the
-    * document body — at 100 TB the shuffle carries 16 bytes + ids per
-    * row instead of the text.
+  /** X1 exact dedup (operators.Dedup.exact): groups by the 128-bit md5
+    * fingerprint, NOT the document body — at 100 TB the shuffle
+    * carries 16 bytes + ids per row instead of the text.
     */
   def q15(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(Text.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("n_copies"))
+    graft.operators.Dedup.exact(documents(s, d), col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
   // ---- §2.5 joins ------------------------------------------------------

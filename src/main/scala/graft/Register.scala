@@ -14,6 +14,10 @@ import graft.ml.Fft
   * Built-in-composable kernels (rms/peak/kurtosis/...) need no
   * registration — they are plain SQL (`sqrt(avg(v*v))` etc., see
   * Oracle.scala for the exact forms).
+  *
+  * The single source of truth for the SQL kernel set is [[builders]];
+  * [[GraftExtensions]] installs the same list via
+  * SparkSessionExtensions.
   */
 object Register {
 
@@ -23,14 +27,21 @@ object Register {
       s"$what must be an integer literal, got $other")
   }
 
+  /** (name, usage, expression builder) for every custom SQL kernel. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays",
+      es => DotProduct(es(0), es(1))),
+    ("graft_sumsq", "graft_sumsq(a) - sum of squared elements",
+      es => SumSq(es.head)),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(text, n) - distinct XXH64 hashes of word n-grams",
+      es => ShingleHashes(es(0), intLit(es(1), "n"))))
+
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => DotProduct(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sumsq",
-      es => SumSq(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes(es(0), intLit(es(1), "n")), "scala_udf")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     spark.udf.register("graft_dominant_freq",
       (xs: Seq[Double], sr: Double) => Fft.dominantFreq(xs, sr))
     spark.udf.register("graft_spectral_energy",

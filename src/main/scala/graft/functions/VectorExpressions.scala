@@ -52,7 +52,9 @@ object VectorExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val la = elemType(left.dataType); val lb = elemType(right.dataType)
-      val n = math.min(a.numElements(), b.numElements())
+      // length mismatch → null, like zip_with's null-padding fold
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       var s = 0.0; var i = 0
       while (i < n) {
         if (a.isNullAt(i) || b.isNullAt(i)) return null
@@ -68,9 +70,10 @@ object VectorExpressions {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |int $n = $a.numElements();
            |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $s += (${getter(la, a, i)}) * (${getter(lb, b, i)});
            |}

@@ -19,14 +19,23 @@ import graft.functions.Vectors
   */
 object Ann {
 
-  /** Exact cosine top-k against a single probe vector. */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      probe: DataFrame, k: Int): DataFrame =
-    emb.crossJoin(broadcast(probe))
+  /** Shared output contract: rounded cosine, ordered desc with id
+    * tie-break, top k (TakeOrderedAndProject — no global sort). The
+    * oracle hash-compare depends on this exact shape, so every ANN
+    * variant ends here.
+    */
+  private def cosineTopK(candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    candidates
       .select(col(idCol),
         round(Vectors.cosine(col(vecCol), col("probe_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+
+  /** Exact cosine top-k against a single probe vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int): DataFrame =
+    cosineTopK(emb.crossJoin(broadcast(probe)), idCol, vecCol, k)
 
   /** Sign-pattern bucket id for a vector against a fixed codebook of
     * hyperplanes (deterministic literal vectors → broadcast in plan).
@@ -64,12 +73,8 @@ object Ann {
         (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, probeArr))
       }
       .sortBy(_._2).take(nProbe).map(_._1).toSeq
-    assigned.filter(col("__cluster").isInCollection(near))
-      .crossJoin(broadcast(probe))
-      .select(col(idCol),
-        round(Vectors.cosine(col(vecCol), col("probe_emb")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    cosineTopK(assigned.filter(col("__cluster").isInCollection(near))
+      .crossJoin(broadcast(probe)), idCol, vecCol, k)
   }
 
   /** LSH-bucketed ANN: restrict the scan to vectors in the probe's
@@ -80,10 +85,8 @@ object Ann {
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), hyperplanes))
     val probeB = probe.withColumn("probe_bucket",
       lshBucket(col("probe_emb"), hyperplanes))
-    bucketed.join(broadcast(probeB), col("bucket") === col("probe_bucket"))
-      .select(col(idCol),
-        round(Vectors.cosine(col(vecCol), col("probe_emb")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    cosineTopK(
+      bucketed.join(broadcast(probeB), col("bucket") === col("probe_bucket")),
+      idCol, vecCol, k)
   }
 }

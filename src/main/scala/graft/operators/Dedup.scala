@@ -150,7 +150,10 @@ object Dedup {
       (0 until bits).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
-    // restore NULL-text docs with NULL fingerprint (oracle parity)
+    // restore NULL-text docs; their fingerprint is 0 (all votes
+    // vacuously non-positive) — matching Text.simhash64 and the
+    // oracle's CASE WHEN NULL > 0 ... ELSE 0 semantics
     df.select(id.as("doc_id")).join(packed, Seq("doc_id"), "left")
+      .withColumn("sh", coalesce(col("sh"), lit(0L)))
   }
 }

@@ -115,13 +115,14 @@ object Streaming {
       .flatMapGroupsWithState[RetryState, Routed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, attempts: Iterator[Attempt], state: GroupState[RetryState]) =>
-          // every attempt is processed in order — a terminal event
-          // (success or DLQ) closes the current cycle and later
-          // attempts in the SAME batch start a fresh one, so results
-          // do not depend on micro-batch boundaries
+          // attempts are folded in EVENT order (the iterator arrives
+          // in shuffle order) — a terminal event (success or DLQ)
+          // closes the current cycle and later attempts start a fresh
+          // one, so results depend on neither micro-batch boundaries
+          // nor fetch interleaving
           var retries = state.getOption.map(_.retries).getOrElse(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
-          attempts.foreach { a =>
+          attempts.toSeq.sortBy(_.atMillis).foreach { a =>
             if (a.ok) {
               out += Routed(id, "processed", retries, a.atMillis, a.payload)
               retries = 0
@@ -172,7 +173,10 @@ object Streaming {
             sorted.foreach { c =>
               cur match {
                 case Some(s) if c.tsMillis - s.end <= gapMillis =>
-                  cur = Some(s.copy(end = c.tsMillis, n = s.n + 1))
+                  // late-but-within-watermark events may precede the
+                  // stored bounds — never move the session backwards
+                  cur = Some(s.copy(start = math.min(s.start, c.tsMillis),
+                    end = math.max(s.end, c.tsMillis), n = s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.end, s.n)
                   cur = Some(SessionState(c.tsMillis, c.tsMillis, 1))

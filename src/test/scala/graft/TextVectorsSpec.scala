@@ -72,7 +72,9 @@ class TextVectorsSpec extends SparkSpec {
     assert(nullRow.isNullAt(nullRow.fieldIndex("s0")))
     val sh = Dedup.simhashPacked(docs, $"text", $"doc_id", 8)
     assert(sh.count() == 2)
-    assert(sh.filter($"doc_id" === 1).head().isNullAt(1))
+    // NULL text → fingerprint 0 (all votes vacuously non-positive),
+    // matching Text.simhash64 and the oracle CASE semantics
+    assert(sh.filter($"doc_id" === 1).head().getLong(1) == 0L)
   }
 
   test("langid picks the language with most stopword hits") {
