@@ -182,6 +182,53 @@ object QueriesExt {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Multimodal feature extraction surfaced in the driver harness
+    * (no DuckDB oracle — binary decode is not SQL-expressible; the
+    * driver records a rows-only check and MultimodalSpec covers
+    * values): deterministic synthetic media → batched decode/features
+    * → joined with the sf embeddings table.
+    */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    val feats = Multimodal.extractFeatures(Multimodal.synthMedia(s, 200)).toDF()
+    Multimodal.joinWithEmbeddings(feats, embeddings(s, d))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(col("byte_mean"), 4).as("byte_mean"),
+        round(col("byte_entropy"), 4).as("byte_entropy"), col("label"))
+      .orderBy(col("media_id"))
+  }
+
+  /** FFT features per user over the time-ordered event-value signal
+    * (F6/F7; no oracle — FFT is not DuckDB-expressible; golden values
+    * in EnrichMlSpec).
+    */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.Fft
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("user_id"),
+        transform(col("evs"), e => e.getField("value")).as("signal"))
+      .select(col("user_id"),
+        round(Fft.dominant_freq(col("signal"), lit(1.0)), 6).as("dom_freq"),
+        round(Fft.spectral_energy(col("signal")), 4).as("spec_energy"))
+      .orderBy(col("user_id"))
+  }
+
+  /** PCA(3) components per embedding (F8; no oracle — MLlib SVD is
+    * not DuckDB-expressible; EnrichMlSpec checks variance ordering).
+    */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.Reduce
+    Reduce.pca(embeddings(s, d), "embedding", 3)
+      .select(col("vec_id"),
+        round(element_at(col("principal_components"), 1), 4).as("pc1"),
+        round(element_at(col("principal_components"), 2), 4).as("pc2"),
+        round(element_at(col("principal_components"), 3), 4).as("pc3"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
     "q33_quality_score" -> (q33 _),
@@ -198,7 +245,10 @@ object QueriesExt {
     "q44_grouping_sets" -> (q44 _),
     "q45_range_window" -> (q45 _),
     "q46_minhash_lsh_pairs" -> (q46 _),
-    "q47_simhash_pairs" -> (q47 _)
+    "q47_simhash_pairs" -> (q47 _),
+    "q48_multimodal_features" -> (q48 _),
+    "q49_fft_features" -> (q49 _),
+    "q50_pca_components" -> (q50 _)
   )
 }
 

@@ -32,7 +32,11 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly exempt") {
-    val exempt = Set.empty[String] // extensions may add no-oracle entries
+    // no-oracle entries (binary decode / FFT / SVD are not
+    // DuckDB-expressible — SparkEntry.scala contract allows omission;
+    // driver records a rows-only check)
+    val exempt = Set("q48_multimodal_features", "q49_fft_features",
+      "q50_pca_components")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

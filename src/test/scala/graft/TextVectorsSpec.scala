@@ -62,6 +62,18 @@ class TextVectorsSpec extends SparkSpec {
     assert(fast.map(_.toSeq).toSeq == colForm.toSeq)
   }
 
+  test("simhash explode-form == Column-form packed fingerprints") {
+    import graft.operators.Dedup
+    val docs = Seq((0L, "a b c d e"), (1L, "x y z"), (2L, "a a a b"))
+      .toDF("doc_id", "text")
+    val fast = Dedup.simhashPacked(docs, $"text", $"doc_id", 12)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val expected = docs
+      .select($"doc_id", Text.simhash64(Text.tokens($"text"), 12).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(fast == expected)
+  }
+
   test("minhash/simhash keep NULL-text docs with NULL fingerprints") {
     import graft.operators.Dedup
     val docs = Seq((0L, Some("a b c d")), (1L, Option.empty[String]))
