@@ -14,9 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * Installs exactly [[Register.builders]] (the single source of truth
-  * for the SQL kernel set). No custom Rule/SparkStrategy is injected —
-  * every operator in this library plans well through stock Catalyst
-  * (SURVEY.md §4).
+  * for the custom-EXPRESSION kernel set). The FFT UDFs
+  * (graft_dominant_freq / graft_spectral_energy) are plain Scala UDFs
+  * and can only be registered on a live session — call
+  * [[Register.all]] for those. No custom Rule/SparkStrategy is
+  * injected — every operator in this library plans well through stock
+  * Catalyst (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -205,6 +205,7 @@ object QueriesExt {
   def q49(s: SparkSession, d: String): DataFrame = {
     import graft.ml.Fft
     events(s, d)
+      .filter(col("value").isNotNull) // a NULL element would NPE the UDF unboxing
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
         col("value")))).as("evs"))

@@ -115,11 +115,13 @@ object Streaming {
       .flatMapGroupsWithState[RetryState, Routed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, attempts: Iterator[Attempt], state: GroupState[RetryState]) =>
-          // attempts are folded in EVENT order (the iterator arrives
-          // in shuffle order) — a terminal event (success or DLQ)
-          // closes the current cycle and later attempts start a fresh
-          // one, so results depend on neither micro-batch boundaries
-          // nor fetch interleaving
+          // attempts are folded in EVENT order within each batch (the
+          // iterator arrives in shuffle order, so we sort); a terminal
+          // event closes the current cycle and later attempts start a
+          // fresh one. Cross-batch reordering (an attempt older than
+          // an already-processed terminal event arriving in a later
+          // batch) starts a new cycle — full event-time reconciliation
+          // would require buffering attempts until a watermark.
           var retries = state.getOption.map(_.retries).getOrElse(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
           attempts.toSeq.sortBy(_.atMillis).foreach { a =>
@@ -172,14 +174,22 @@ object Streaming {
             var cur = state.getOption
             sorted.foreach { c =>
               cur match {
-                case Some(s) if c.tsMillis - s.end <= gapMillis =>
-                  // late-but-within-watermark events may precede the
-                  // stored bounds — never move the session backwards
+                case Some(s) if c.tsMillis >= s.start - gapMillis &&
+                    c.tsMillis - s.end <= gapMillis =>
+                  // within gap of the open session (possibly late) —
+                  // extend, never moving the bounds backwards
                   cur = Some(s.copy(start = math.min(s.start, c.tsMillis),
                     end = math.max(s.end, c.tsMillis), n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if c.tsMillis > s.end + gapMillis =>
                   closed += ClosedSession(user, s.start, s.end, s.n)
                   cur = Some(SessionState(c.tsMillis, c.tsMillis, 1))
+                case Some(_) =>
+                  // a late straggler more than gap BEFORE the open
+                  // session: it cannot merge; emit it as its own
+                  // single-event session (approximation — an even
+                  // later neighbor within its gap would need full
+                  // event-list state to merge with it)
+                  closed += ClosedSession(user, c.tsMillis, c.tsMillis, 1)
                 case None =>
                   cur = Some(SessionState(c.tsMillis, c.tsMillis, 1))
               }
