@@ -160,6 +160,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4b: a late straggler older than the open session closes alone") {
+    import graft.streaming.Streaming.{Click, ClosedSession}
+    val in = MemoryStream[Click](spark)
+    // gap 2s, watermark 10s (from timeoutSessions)
+    val q = Streaming.timeoutSessions(in.toDS(), gapMillis = 2000L)
+      .writeStream.format("memory").queryName("t4d_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Click(1, ts("2024-01-01 00:01:40")),  // 100s
+        Click(1, ts("2024-01-01 00:01:41")))           // 101s — one session
+      q.processAllAvailable()
+      // watermark is now 91s; 95s is late-but-valid and >2s before
+      // session start → must close alone, not corrupt [100,101]
+      in.addData(Click(1, ts("2024-01-01 00:01:35")))  // 95s
+      q.processAllAvailable()
+      in.addData(Click(1, ts("2024-01-01 00:05:00")))  // advance, time out [100,101]
+      q.processAllAvailable()
+      in.addData(Click(2, ts("2024-01-01 00:10:00")))  // push watermark further
+      q.processAllAvailable()
+      // three closed: the straggler alone, the [100,101] pair, and the
+      // 00:05 single (timed out once user 2 advanced the watermark)
+      val closed = spark.table("t4d_out").as[ClosedSession]
+        .collect().filter(_.user == 1L).sortBy(_.startMillis)
+      assert(closed.length == 3, s"got ${closed.mkString(",")}")
+      assert(closed(0).n_events == 1 &&
+        closed(0).startMillis == closed(0).endMillis) // the straggler
+      assert(closed(1).n_events == 2 &&
+        closed(1).endMillis - closed(1).startMillis == 1000L)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the time bound, bounded state") {
     val imps = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val clicks = MemoryStream[(Long, java.sql.Timestamp)](spark)
