@@ -230,6 +230,32 @@ object QueriesExt {
       .orderBy(col("vec_id"))
   }
 
+  /** Balanced (stratified-cap) sampling: at most 20 docs per language,
+    * chosen by deterministic md5 order — the quota/balance pass of a
+    * training-data pipeline, reproducible across runs and engines
+    * (unlike RNG-based sampleBy).
+    */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Deterministic ~10% subsample by hash threshold — reproducible
+    * downsampling (the keep-if-hash-bucket<k pattern; at 100 TB the
+    * predicate pushes into the scan and no shuffle occurs).
+    */
+  def q52(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(pmod(Text.md5Long(col("text")), lit(100L)) < 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
     "q33_quality_score" -> (q33 _),
@@ -249,7 +275,9 @@ object QueriesExt {
     "q47_simhash_pairs" -> (q47 _),
     "q48_multimodal_features" -> (q48 _),
     "q49_fft_features" -> (q49 _),
-    "q50_pca_components" -> (q50 _)
+    "q50_pca_components" -> (q50 _),
+    "q51_balanced_sample" -> (q51 _),
+    "q52_hash_sample" -> (q52 _)
   )
 }
 
@@ -450,6 +478,18 @@ object OracleExt {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 1
          |ORDER BY a_id, b_id""".stripMargin
-    }
+    },
+
+    "q51_balanced_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q52_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${md5long("text")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin
   )
 }
