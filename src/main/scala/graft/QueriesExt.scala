@@ -256,6 +256,31 @@ object QueriesExt {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** PII/number redaction pass: digit runs → <NUM> sentinel, with a
+    * redaction count per doc (the content-scrubbing stage of a
+    * training-data pipeline; pattern is RE2/Java-portable).
+    */
+  def q53(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redacted"),
+      md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition filter: fraction of duplicate trigram
+    * shingles per doc; docs above 60% repetition are flagged for drop.
+    */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val sh = Text.shingles(col("text"), 3)
+    documents(s, d).select(
+      col("doc_id"),
+      round(lit(1.0) -
+        size(array_distinct(sh)).cast("double") /
+          greatest(size(sh), lit(1)).cast("double"), 4).as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= 0.6)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_langid" -> (q32 _),
     "q33_quality_score" -> (q33 _),
@@ -277,7 +302,9 @@ object QueriesExt {
     "q49_fft_features" -> (q49 _),
     "q50_pca_components" -> (q50 _),
     "q51_balanced_sample" -> (q51 _),
-    "q52_hash_sample" -> (q52 _)
+    "q52_hash_sample" -> (q52 _),
+    "q53_redact" -> (q53 _),
+    "q54_repetition_filter" -> (q54 _)
   )
 }
 
@@ -490,6 +517,22 @@ object OracleExt {
     "q52_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${md5long("text")} % 100 < 10
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q53_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_redacted,
+        |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q54_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shingles3 AS sh FROM t)
+         |SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |    / CAST(greatest(len(sh), 1) AS DOUBLE), 4) AS dup_ratio,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+         |    / CAST(greatest(len(sh), 1) AS DOUBLE), 4) <= 0.6 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }
