@@ -114,7 +114,9 @@ object Oracle {
         |FROM orders""".stripMargin,
 
     "q20_cube_counts" ->
-      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE coalesce(lang, 'NULL') END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE coalesce(source, 'NULL') END AS source,
         |  count(*) AS n
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY lang, source""".stripMargin,

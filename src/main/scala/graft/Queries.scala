@@ -163,7 +163,10 @@ object Queries {
     * the partition-column round-trip.
     */
   def q17(s: SparkSession, d: String): DataFrame = {
-    val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // pid-unique path: concurrent harness JVMs (Bench ∥ Verify on the
+    // same sf) must not race on the overwrite of one lake directory
+    val pid = ProcessHandle.current().pid()
+    val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}_p$pid"
     // partition-aligned repartition: one task/file per (event_type, day)
     // directory instead of |tasks|×|dirs| small files — the standard
     // lake-write shape (at larger scale add a file-count salt)
@@ -197,12 +200,22 @@ object Queries {
 
   // ---- §2.4 grouping sets / distinct ----------------------------------
 
+  /** A5: cube with margins. grouping() (not coalesce) marks rollup
+    * margin rows, so a genuine NULL data value in lang/source would
+    * surface as 'NULL', distinct from the 'ALL' margins.
+    */
   def q20(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .cube(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"))
+      .select(
+        when(col("g_lang") === 1, lit("ALL"))
+          .otherwise(coalesce(col("lang"), lit("NULL"))).as("lang"),
+        when(col("g_source") === 1, lit("ALL"))
+          .otherwise(coalesce(col("source"), lit("NULL"))).as("source"),
+        col("n"))
       .orderBy(col("lang"), col("source"))
 
   def q21(s: SparkSession, d: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 import graft.operators.{Ann, Dedup}
@@ -122,12 +122,20 @@ object QueriesExt {
       .orderBy(col("user_id"))
   }
 
+  /** Margin-vs-data disambiguation for cube/rollup/grouping-sets:
+    * grouping() == 1 marks a margin row ('ALL'); a genuine NULL data
+    * value surfaces as 'NULL' instead of being conflated with margins.
+    */
+  private def marginLabel(g: Column, v: Column): Column =
+    when(g === 1, lit("ALL")).otherwise(coalesce(v, lit("NULL")))
+
   /** A5: rollup (lang → lang×source hierarchy margins). */
   def q43(s: SparkSession, d: String): DataFrame =
     documents(s, d).rollup(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("lang")).as("g_lang"), grouping(col("source")).as("g_source"))
+      .select(marginLabel(col("g_lang"), col("lang")).as("lang"),
+        marginLabel(col("g_source"), col("source")).as("source"), col("n"))
       .orderBy(col("lang"), col("source"))
 
   /** A5: explicit GROUPING SETS ((lang), (source)). */
@@ -135,9 +143,10 @@ object QueriesExt {
     documents(s, d)
       .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
         col("lang"), col("source"))
-      .agg(count(lit(1)).as("n"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("lang")).as("g_lang"), grouping(col("source")).as("g_source"))
+      .select(marginLabel(col("g_lang"), col("lang")).as("lang"),
+        marginLabel(col("g_source"), col("source")).as("source"), col("n"))
       .orderBy(col("lang"), col("source"))
 
   /** W4 range frame: trailing-hour event count per user at each event
@@ -454,13 +463,17 @@ object OracleExt {
         |ORDER BY user_id""".stripMargin,
 
     "q43_rollup" ->
-      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE coalesce(lang, 'NULL') END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE coalesce(source, 'NULL') END AS source,
         |  count(*) AS n
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang, source""".stripMargin,
 
     "q44_grouping_sets" ->
-      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE coalesce(lang, 'NULL') END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE coalesce(source, 'NULL') END AS source,
         |  count(*) AS n
         |FROM documents GROUP BY GROUPING SETS ((lang), (source))
         |ORDER BY lang, source""".stripMargin,

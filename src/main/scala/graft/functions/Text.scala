@@ -62,25 +62,29 @@ object Text {
     * set else -1); pack to a bit string. Uses md5-derived bits so it is
     * engine-portable.
     */
-  def simhashBits(toks: Column, bits: Int): Column =
+  def simhashBits(toks: Column, bits: Int): Column = {
+    require(bits <= 60, s"simhash bits must be <= 60 (md5Long yields 60 usable bits; bit ${bits - 1} would alias bit ${(bits - 1) % 60}), got $bits")
     concat((0 until bits).map { b =>
       val vote = aggregate(
         transform(toks, t => when(md5Long(t).bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1).otherwise(-1)),
         lit(0), (acc, v) => acc + v)
       when(vote > 0, lit("1")).otherwise(lit("0"))
     }: _*)
+  }
 
   /** SimHash as a packed integer (bit b set iff the b-th vote is
     * positive) — the joinable form: near-dups have small Hamming
     * distance `bit_count(a ^ b)`.
     */
-  def simhash64(toks: Column, bits: Int): Column =
+  def simhash64(toks: Column, bits: Int): Column = {
+    require(bits <= 60, s"simhash bits must be <= 60 (md5Long yields 60 usable bits; bit ${bits - 1} would alias bit ${(bits - 1) % 60}), got $bits")
     (0 until bits).map { b =>
       val vote = aggregate(
         transform(toks, t => when(md5Long(t).bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1).otherwise(-1)),
         lit(0), (acc, v) => acc + v)
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Exact content fingerprint (md5 of full text) — X1 exact-dedup key.
     * At 100 TB: groupBy this 128-bit key instead of the full text so

@@ -80,7 +80,8 @@ object Fft {
     val n = (mag.length - 1) * 2
     var best = 1; var k = 2
     while (k < mag.length) { if (mag(k) > mag(best)) best = k; k += 1 }
-    best.toDouble * sampleRateHz / n
+    if (mag(best) == 0.0) 0.0 // constant/DC-only signal: no dominant frequency
+    else best.toDouble * sampleRateHz / n
   }
 
   /** Spectral energy = Σ|X(k)|² over the full spectrum / n — equals

@@ -52,6 +52,9 @@ object Ann {
     * 100 TB the cluster id is the partition/bucketing key, so a query
     * touches nProbe partitions instead of the corpus; recall is tuned
     * by nProbe exactly as in FAISS-style IVF indexes.
+    *
+    * Contract: `probe` must hold exactly ONE row (same 1-row contract
+    * as the AsOf probe); centroid ranking reads it on the driver.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
@@ -67,7 +70,10 @@ object Ann {
     val probeVec = probe.withColumn("__vec",
       array_to_vector(col("probe_emb").cast("array<double>")))
     // centroid list is tiny (nCentroids × dim) → rank on the driver
-    val probeArr = probeVec.head().getAs[org.apache.spark.ml.linalg.Vector]("__vec")
+    val probeRows = probeVec.limit(2).collect()
+    require(probeRows.length == 1,
+      s"ivfTopK expects exactly one probe row, got ${if (probeRows.isEmpty) 0 else "2+"}")
+    val probeArr = probeRows(0).getAs[org.apache.spark.ml.linalg.Vector]("__vec")
     val near = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, probeArr))

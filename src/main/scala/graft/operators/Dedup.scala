@@ -140,6 +140,7 @@ object Dedup {
     */
   def simhashPacked(df: DataFrame, text: Column, id: Column,
       bits: Int): DataFrame = {
+    require(bits <= 60, s"simhash bits must be <= 60 (md5Long yields 60 usable bits; bit ${bits - 1} would alias bit ${(bits - 1) % 60}), got $bits")
     val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("t"))
       .withColumn("h", Text.md5Long(col("t")))
     val aggs = (0 until bits).map(b =>

@@ -19,6 +19,12 @@ class EnrichMlSpec extends SparkSpec {
     assert(math.abs(Fft.dominantFreq(sine2, fs) - f1) < 1e-9)
   }
 
+  test("FFT: dominant frequency of a constant (DC-only) signal is 0") {
+    assert(Fft.dominantFreq(Seq.fill(64)(5.0), 64.0) == 0.0)
+    assert(Fft.dominantFreq(Seq.fill(64)(0.0), 64.0) == 0.0)
+    assert(Fft.dominantFreq(Seq(1.0), 64.0) == 0.0)
+  }
+
   test("FFT: spectral energy obeys Parseval (= sum of squares)") {
     val rnd = new scala.util.Random(11)
     val xs = Seq.fill(128)(rnd.nextDouble() * 10 - 5)

@@ -74,6 +74,14 @@ class TextVectorsSpec extends SparkSpec {
     assert(fast == expected)
   }
 
+  test("simhash rejects bits > 60 (md5Long bit-aliasing guard)") {
+    import graft.operators.Dedup
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Text.simhashBits(Text.tokens($"text"), 64))
+    intercept[IllegalArgumentException](Text.simhash64(Text.tokens($"text"), 61))
+    intercept[IllegalArgumentException](Dedup.simhashPacked(docs, $"text", $"doc_id", 64))
+  }
+
   test("minhash/simhash keep NULL-text docs with NULL fingerprints") {
     import graft.operators.Dedup
     val docs = Seq((0L, Some("a b c d")), (1L, Option.empty[String]))
