@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Signal
-import graft.operators.AsOf
+import graft.functions.{Signal, Text, Vectors}
+import graft.operators.{AsOf, Dedup}
 
 /** Round-2 relational extensions (SURVEY.md §2.5/§2.6 widened): as-of
   * join surfaced as an oracled query (DuckDB ASOF JOIN), broadcast
@@ -141,6 +141,194 @@ object Queries2 {
       .orderBy(col("event_id"))
   }
 
+  // ---- training-data pipeline extensions (round 2) ---------------------
+
+  /** X1b completion: candidate PAIRS → dedup CLUSTERS. Connected
+    * components over the q46 LSH candidate edges (min-label
+    * propagation, O(diameter) shuffle rounds — see
+    * Dedup.connectedComponents); cluster id = min doc_id, i.e. the
+    * kept representative. Oracle: recursive CTE over the identical
+    * pair set.
+    */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
+      n = 3, bands = 4, rowsPerBand = 2)
+    Dedup.connectedComponents(edges, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Normalization-then-exact dedup: strip digits, collapse runs of
+    * spaces, trim; canonical doc = min doc_id per normalized
+    * fingerprint. The md5 keys the shuffle (16 bytes/row), per X1.
+    */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(col("text"), "[0-9]+", ""), " +", " "))
+    documents(s, d)
+      .select(col("doc_id"), md5(norm).as("norm_md5"))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("norm_md5"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): token
+    * count bounds, mean word length in [3,10], fraction of tokens
+    * containing an alphabetic char. Pure narrow column math; the keep
+    * decision uses UNROUNDED doubles on both engines so boundary docs
+    * agree.
+    */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks)
+    val meanWlen = Text.meanTokenLen(toks)
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(nTok, lit(1)).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      (nTok.between(50, 100000) && meanWlen.between(3.0, 10.0) &&
+        alphaFrac >= 0.8).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword removal + top content words — the vocabulary pass after
+    * filtering the all-language stoplist.
+    */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val stop = Text.stopwords.values.flatten.toSeq
+    documents(s, d)
+      .select(explode(filter(Text.tokens(col("text")),
+        t => !t.isInCollection(stop))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(30)
+  }
+
+  /** Character-level Shannon entropy per document (a gibberish /
+    * compression-quality signal): explode chars → per-doc counts →
+    * −Σ p ln p. Two partial+final aggregates, shuffles keyed on
+    * (doc, char) then doc.
+    */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    cnt.groupBy(col("doc_id"))
+      .agg(round(-sum(p * log(p)), 4).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** k-NN join (every vector is a query): top-3 cosine neighbors
+    * within the label block. Blocking bounds the pair fan-out exactly
+    * like an LSH bucket would at 100 TB; norms precomputed narrow;
+    * per-query ranking is a partition-local window, never a global
+    * sort.
+    */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("nrm", Vectors.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("q_id"), col("label"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val b = e.select(col("vec_id").as("n_id"), col("label").as("label_b"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    a.join(b, col("label") === col("label_b") && col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        Vectors.dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private[graft] val EwmaAlpha = 0.2
+  private[graft] val EwmaK = 20
+  /** Truncated-EWMA weights (1−α)^j as Scala-computed literals — the
+    * SAME doubles are spliced into the DuckDB oracle, so no
+    * cross-engine pow() drift can exist.
+    */
+  private[graft] val ewmaW: IndexedSeq[Double] =
+    (0 until EwmaK).map(j => math.pow(1 - EwmaAlpha, j))
+  private[graft] val ewmaCum: IndexedSeq[Double] =
+    (1 to EwmaK).map(m => ewmaW.take(m).sum)
+
+  /** Windowed exponential smoothing (EWMA truncated at 20 lags,
+    * α=0.2) per user over event time — the time-series smoothing pass.
+    * A fixed lag stencil (20 codegen'd lag() reads in ONE window pass)
+    * rather than a recursive state: deterministic, partition-local,
+    * and identical on both engines.
+    */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val num = (0 until EwmaK).map(j =>
+      lit(ewmaW(j)) * coalesce(lag(col("value"), j).over(w0), lit(0.0)))
+      .reduce(_ + _)
+    val rn = row_number().over(w0)
+    val den = (1 until EwmaK).foldRight(lit(ewmaCum(EwmaK - 1)): Column) {
+      (m, acc) => when(rn === m, lit(ewmaCum(m - 1))).otherwise(acc)
+    }
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(num / den, 4).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-series gap fill + forward fill: per-user hourly grid
+    * (sequence + explode — a narrow generator), left join of observed
+    * hourly aggregates, last(ignoreNulls) carry-forward, then per-user
+    * rollup. Decimal hourly sums keep the forward-filled aggregate
+    * exact under any partial-agg order.
+    */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Signal.exactSum(col("value")).as("hv"), count(lit(1)).as("hn"))
+    val slots = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(col("user_id"),
+        explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slots.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("fv", last(col("hv"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_slots"),
+        count(when(col("hn") > 0, lit(1))).as("n_observed"),
+        round(sum(col("fv")).cast("double") / count(lit(1)), 4).as("avg_filled"))
+      .orderBy(col("user_id"))
+  }
+
+  /** TF-IDF top terms per document: tf × ln(N/df), ranked per doc on
+    * the ROUNDED score (identical on both engines) with term
+    * tie-break. df table shuffles on the term; N is a 1-row broadcast.
+    */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy(col("w").as("dw"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = tok.select(countDistinct(col("doc_id")).as("n"))
+    val w0 = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    tf.join(dft, col("w") === col("dw"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w0))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_asof_join" -> (q55 _),
     "q56_range_join" -> (q56 _),
@@ -148,12 +336,29 @@ object Queries2 {
     "q58_exists_subquery" -> (q58 _),
     "q59_pivot" -> (q59 _),
     "q60_unpivot" -> (q60 _),
-    "q61_window_extras" -> (q61 _)
+    "q61_window_extras" -> (q61 _),
+    "q62_dedup_clusters" -> (q62 _),
+    "q63_normalized_dedup" -> (q63 _),
+    "q64_gopher_rules" -> (q64 _),
+    "q65_content_words" -> (q65 _),
+    "q66_char_entropy" -> (q66 _),
+    "q67_knn_join" -> (q67 _),
+    "q68_ewma_smooth" -> (q68 _),
+    "q69_gap_fill" -> (q69 _),
+    "q70_tfidf" -> (q70 _)
   )
 }
 
-/** DuckDB oracles for Queries2. */
+/** DuckDB oracles for Queries2. Formula-bearing SQL is generated from
+  * the same Scala constants as the Spark side (EWMA weights, stopword
+  * lists, the q46 LSH pair CTEs) so no cross-engine formula drift can
+  * exist.
+  */
 object Oracle2 {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
   val sql: Map[String, String] = Map(
     "q55_asof_join" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
@@ -224,6 +429,130 @@ object Oracle2 {
         |  first_value(event_id) OVER w AS first_id
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q62_dedup_clusters" ->
+      s"""WITH RECURSIVE ${OracleExt.lshPairCtes},
+         |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM und),
+         |walk(n, lbl) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT und.dst, walk.lbl FROM walk JOIN und ON walk.n = und.src
+         |  WHERE walk.lbl < und.dst
+         |)
+         |SELECT n AS doc_id, min(lbl) AS cluster_id
+         |FROM walk GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    "q63_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(text, '[0-9]+', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_md5
+        |FROM documents)
+        |SELECT doc_id, norm_md5,
+        |  doc_id = min(doc_id) OVER (PARTITION BY norm_md5) AS is_canonical
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q64_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tok,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS af
+        |FROM t)
+        |SELECT doc_id, n_tok, round(mwl, 4) AS mean_wlen,
+        |  round(af, 4) AS alpha_frac,
+        |  (n_tok BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND af >= 0.8 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q65_content_words" -> {
+      val stop = inList(Text.stopwords.values.flatten.toSeq)
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |  w -> w NOT IN ($stop))) AS word FROM documents)
+         |SELECT word, count(*) AS n FROM tok
+         |GROUP BY word ORDER BY n DESC, word LIMIT 30""".stripMargin
+    },
+
+    "q66_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |w AS (SELECT doc_id, n,
+        |  sum(n) OVER (PARTITION BY doc_id) AS tot FROM cnt)
+        |SELECT doc_id,
+        |  round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 4)
+        |    AS char_entropy
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q67_knn_join" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |rk AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        |FROM p)
+        |SELECT q_id, rk, n_id, round(cos, 4) AS cosine
+        |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "q68_ewma_smooth" -> {
+      import Queries2.{EwmaK, ewmaW, ewmaCum}
+      val num = (0 until EwmaK).map(j =>
+        s"${ewmaW(j)} * coalesce(lag(value, $j) OVER w0, 0.0)")
+        .mkString("\n    + ")
+      val den = (1 until EwmaK).map(m =>
+        s"WHEN rn = $m THEN ${ewmaCum(m - 1)}").mkString(" ")
+      s"""WITH x AS (SELECT event_id, user_id, value,
+         |  row_number() OVER w0 AS rn,
+         |  ($num) AS num
+         |FROM events
+         |WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, value,
+         |  round(num / (CASE $den ELSE ${ewmaCum(EwmaK - 1)} END), 4) AS ewma
+         |FROM x ORDER BY event_id""".stripMargin
+    },
+
+    "q69_gap_fill" ->
+      """WITH span AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |    date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY user_id),
+        |slots AS (SELECT user_id,
+        |  unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM span),
+        |hourly AS (SELECT user_id AS hu, date_trunc('hour', ts) AS hh,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS hv, count(*) AS hn
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT s.user_id, s.h, hv, coalesce(hn, 0) AS hn
+        |  FROM slots s LEFT JOIN hourly ON s.user_id = hu AND s.h = hh),
+        |f AS (SELECT user_id, hn,
+        |  last_value(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |FROM j)
+        |SELECT user_id, count(*) AS n_slots,
+        |  count(*) FILTER (WHERE hn > 0) AS n_observed,
+        |  round(CAST(sum(fv) AS DOUBLE) / count(*), 4) AS avg_filled
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q70_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w AS dw, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+        |sc AS (SELECT doc_id, w,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN df ON w = dw CROSS JOIN nd),
+        |rk AS (SELECT doc_id, w, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+        |FROM sc)
+        |SELECT doc_id, rk, w AS term, tfidf
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

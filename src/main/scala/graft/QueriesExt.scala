@@ -345,6 +345,33 @@ object OracleExt {
 
   private val langs = Seq("en", "fr", "es", "de", "zh")
 
+  /** The q46 minhash-LSH banding candidate-pair pipeline as a reusable
+    * CTE chain ending in `pairs(a_id, b_id)` — shared by the q46
+    * oracle and the q62 connected-components oracle (Oracle2).
+    */
+  private[graft] val lshPairCtes: String = {
+    val sigs = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
+      .mkString(",\n  ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || " +
+        s"CAST(s${2 * b + 1} AS VARCHAR) AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigs
+       |FROM g),
+       |bands AS (
+       |  $bandRows
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q32_langid" -> {
       val cnts = langs.map(l =>
@@ -484,27 +511,10 @@ object OracleExt {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "q46_minhash_lsh_pairs" -> {
-      val sigs = (0 until 8).map(i =>
-        s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
-        .mkString(",\n  ")
-      val bandRows = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || " +
-          s"CAST(s${2 * b + 1} AS VARCHAR) AS bucket FROM sig")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
-         |sig AS (SELECT doc_id,
-         |  $sigs
-         |FROM g),
-         |bands AS (
-         |  $bandRows
-         |)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "q46_minhash_lsh_pairs" ->
+      s"""WITH $lshPairCtes
+         |SELECT a_id, b_id FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q47_simhash_pairs" -> {
       val shBits = (0 until 16).map { b =>

@@ -123,6 +123,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a candidate-pair edge list — the
+    * clustering step that turns near-dup PAIRS into dedup GROUPS
+    * (cluster id = min doc id in the component; one kept doc per
+    * cluster).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle keyed on
+    * node id — no driver-side graph state, so it scales with the
+    * edge list, not the corpus. Near-dup components are shallow
+    * (dozens of docs), so rounds stay low; a massive-graph deployment
+    * would swap in the large-star/small-star contraction, same
+    * DataFrame shape. `localCheckpoint` truncates the iterative
+    * lineage so plans don't grow with the round count.
+    *
+    * Returns (node, cluster) for every node present in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = und.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("lbl").as("cluster"))
+  }
+
   /** Per-document SimHash bit fingerprint (as a bit string of length
     * `bits`). Near-dups differ in few bits; pair generation at scale
     * buckets on bit-band substrings exactly like minhash LSH.

@@ -48,6 +48,17 @@ class TextVectorsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("connectedComponents clusters planted chains and keeps singletons apart") {
+    import graft.operators.Dedup
+    // components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a star)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("minhash explode-form == Column-form signatures") {
     import graft.operators.Dedup
     val docs = Seq((0L, "a b c d e f"), (1L, "x y z w v u t"), (2L, "a b"))
