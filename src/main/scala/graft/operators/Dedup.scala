@@ -142,25 +142,33 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    // labels only ever DECREASE, so Σ(lbl) is strictly monotone while
+    // anything changes — an O(1)-row convergence probe with no extra
+    // join. Decimal sum: exact at any node-count/id magnitude.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var labels = und.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
       .localCheckpoint()
+    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = und.join(labels, col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(prop, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // min over {self} ∪ neighbors in ONE join + ONE partial+final
+      // aggregate per round
+      val next = labels.unionByName(
+        und.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") < col("old")).isEmpty
+      val s = lblSum(next)
       labels = next
+      if (s.compareTo(prevSum) == 0) converged = true else prevSum = s
       iter += 1
     }
     und.unpersist()

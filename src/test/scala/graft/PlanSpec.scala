@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+
+/** Physical-plan shape assertions — the scale properties PERF.md
+  * argues (pushdown, pruning, broadcast choice, top-k without global
+  * sort) locked in as tests so a refactor can't silently regress the
+  * 100 TB story.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  private def simple(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(SimpleMode)
+
+  test("q01: scan reads only the projected columns (column pruning)") {
+    val rs = formatted("q01_scan_projection").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("l_orderkey") && rs.contains("l_extendedprice"), rs)
+    assert(!rs.contains("l_discount") && !rs.contains("l_shipdate"), rs)
+  }
+
+  test("q02: predicates are pushed into the parquet scan") {
+    val pf = formatted("q02_filter_predicate").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pf.contains("event_type") && pf.contains("value"), pf)
+  }
+
+  test("q16/q22: dimension joins plan as BroadcastHashJoin") {
+    assert(simple("q16_enrich_join").contains("BroadcastHashJoin"))
+    assert(simple("q22_multi_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q23/q24/q58: semi/anti/EXISTS joins avoid payload duplication") {
+    assert(simple("q23_semi_join").contains("LeftSemi"))
+    assert(simple("q24_anti_join").contains("LeftAnti"))
+    assert(simple("q58_exists_subquery").contains("LeftSemi"))
+  }
+
+  test("q26/q29: top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(simple("q26_topk_users").contains("TakeOrderedAndProject"))
+    assert(simple("q29_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q56: interval join broadcasts the tiny interval side") {
+    assert(simple("q56_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q57: correlated subqueries decorrelate into aggregate+join (no per-row subplans)") {
+    val p = simple("q57_scalar_subquery")
+    assert(!p.contains("Subquery"), p.take(400))
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("aggregations plan partial (map-side) + final HashAggregate") {
+    val p = simple("q04_rms_group")
+    assert(p.contains("HashAggregate"))
+    // partial+final = two HashAggregate operators around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(400))
+  }
+}
