@@ -329,6 +329,77 @@ object Queries2 {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** J6 surfaced in the harness: two-phase salted aggregation
+    * (operators.Skew). The salt spreads a hot key over 8 partial
+    * tasks; re-combining per key restores exact results — the oracle
+    * is the PLAIN aggregate, proving salting is semantically
+    * invisible. Decimal value sums keep the two-phase combine exact.
+    */
+  def q71(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedStats(events(s, d), col("event_type"),
+      col("event_id"), col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)),
+      salts = 8)
+      .select(col("key").as("event_type"), col("n"),
+        round(col("sum").cast("double"), 4).as("total"),
+        round(col("min").cast("double"), 4).as("min_v"),
+        round(col("max").cast("double"), 4).as("max_v"))
+      .orderBy(col("event_type"))
+
+  /** Star-schema rollup (TPC-H Q5 shape): region ⋈ nation ⋈ customer
+    * ⋈ orders, revenue per region. All three dims broadcast; the fact
+    * table never shuffles for the joins — one exchange for the final
+    * 5-key aggregate.
+    */
+  def q72(s: SparkSession, d: String): DataFrame =
+    region(s, d)
+      .join(nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), Signal.exactSumD(col("o_totalprice")).as("revenue"))
+      .orderBy(col("r_name"))
+
+  /** Aggregate-then-window: monthly order counts with month-over-month
+    * growth. The lag window runs on the AGGREGATED series (≤ 1 row per
+    * month — driver-scale), so the unpartitioned window is safe at any
+    * fact-table size.
+    */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mom_growth",
+        round((col("n").cast("double") - lag(col("n"), 1).over(w)) /
+          lag(col("n"), 1).over(w), 4))
+      .orderBy(col("month"))
+  }
+
+  /** Data-quality consistency check (F9 family): the numeric id
+    * embedded in c_name must equal c_custkey. Narrow regexp + compare,
+    * counts per outcome.
+    */
+  def q74(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy((regexp_extract(col("c_name"), "[0-9]+", 0).cast("long") ===
+        col("c_custkey")).as("ok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ok"))
+
+  /** Histogram: 20 equi-width buckets over the global value range.
+    * The 1-row min/max aggregate broadcasts (q09 shape); bucketing is
+    * narrow; the final aggregate shuffles ≤ 20 keys.
+    */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val st = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    e.crossJoin(broadcast(st))
+      .select(least(floor((col("value") - col("mn")) /
+        ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_asof_join" -> (q55 _),
     "q56_range_join" -> (q56 _),
@@ -345,7 +416,12 @@ object Queries2 {
     "q67_knn_join" -> (q67 _),
     "q68_ewma_smooth" -> (q68 _),
     "q69_gap_fill" -> (q69 _),
-    "q70_tfidf" -> (q70 _)
+    "q70_tfidf" -> (q70 _),
+    "q71_salted_agg" -> (q71 _),
+    "q72_star_join" -> (q72 _),
+    "q73_mom_growth" -> (q73 _),
+    "q74_consistency_check" -> (q74 _),
+    "q75_histogram" -> (q75 _)
   )
 }
 
@@ -553,6 +629,43 @@ object Oracle2 {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
         |FROM sc)
         |SELECT doc_id, rk, w AS term, tfidf
-        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // the salted two-phase aggregate must equal the PLAIN aggregate —
+    // that equality is exactly what the oracle checks
+    "q71_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+        |  round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q72_star_join" ->
+      """SELECT r_name, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q73_mom_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n,
+        |  round((CAST(n AS DOUBLE) - lag(n) OVER (ORDER BY month))
+        |    / lag(n) OVER (ORDER BY month), 4) AS mom_growth
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q74_consistency_check" ->
+      """SELECT CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) = c_custkey AS ok,
+        |  count(*) AS n
+        |FROM customer GROUP BY ok ORDER BY ok""".stripMargin,
+
+    "q75_histogram" ->
+      """WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19) AS INTEGER)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM events, st GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
