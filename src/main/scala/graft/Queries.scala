@@ -164,8 +164,23 @@ object Queries {
     */
   def q17(s: SparkSession, d: String): DataFrame = {
     // pid-unique path: concurrent harness JVMs (Bench ∥ Verify on the
-    // same sf) must not race on the overwrite of one lake directory
+    // same sf) must not race on the overwrite of one lake directory.
+    // Stale sibling runs (> 1 h old — long past any live JVM) are
+    // swept so repeated harness cycles don't leak a dataset copy per
+    // pid.
     val pid = ProcessHandle.current().pid()
+    val root = new java.io.File("/root/repo/target/lake")
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("q17_") &&
+        !f.getName.endsWith(s"_p$pid") && f.lastModified() < cutoff)
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
     val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}_p$pid"
     // partition-aligned repartition: one task/file per (event_type, day)
     // directory instead of |tasks|×|dirs| small files — the standard
@@ -211,10 +226,8 @@ object Queries {
         grouping(col("lang")).as("g_lang"),
         grouping(col("source")).as("g_source"))
       .select(
-        when(col("g_lang") === 1, lit("ALL"))
-          .otherwise(coalesce(col("lang"), lit("NULL"))).as("lang"),
-        when(col("g_source") === 1, lit("ALL"))
-          .otherwise(coalesce(col("source"), lit("NULL"))).as("source"),
+        QueriesExt.marginLabel(col("g_lang"), col("lang")).as("lang"),
+        QueriesExt.marginLabel(col("g_source"), col("source")).as("source"),
         col("n"))
       .orderBy(col("lang"), col("source"))
 

@@ -220,8 +220,10 @@ object Queries2 {
       .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
       .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
     val p = col("n").cast("double") / col("tot").cast("double")
+    // + 0.0 canonicalizes IEEE -0.0 (a uniform-char doc yields -0.0
+    // from -sum; DuckDB round() preserves the sign, Spark's does not)
     cnt.groupBy(col("doc_id"))
-      .agg(round(-sum(p * log(p)), 4).as("char_entropy"))
+      .agg((round(-sum(p * log(p)), 4) + lit(0.0)).as("char_entropy"))
       .orderBy(col("doc_id"))
   }
 
@@ -311,18 +313,19 @@ object Queries2 {
     * tie-break. df table shuffles on the term; N is a 1-row broadcast.
     */
   def q70(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
+    // N as a driver-side literal (docs with text — every such doc
+    // yields ≥1 token, so this equals the oracle's distinct-doc count);
+    // df via a window over the (doc, term) aggregate. ONE tokenize+
+    // explode pass total — a tf⋈df join would re-run it per consumer.
+    val nDocs = documents(s, d).filter(col("text").isNotNull).count().toDouble
+    val tf = documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
-    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dft = tok.groupBy(col("w").as("dw"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = tok.select(countDistinct(col("doc_id")).as("n"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val w0 = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("w"))
-    tf.join(dft, col("w") === col("dw"))
-      .crossJoin(broadcast(nDocs))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+        round(col("tf") * log(lit(nDocs) / col("df")), 4))
       .withColumn("rk", row_number().over(w0))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
@@ -381,8 +384,11 @@ object Queries2 {
     */
   def q74(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .groupBy((regexp_extract(col("c_name"), "[0-9]+", 0).cast("long") ===
-        col("c_custkey")).as("ok"))
+      // coalesce(false): a digit-free name parses to NULL ≠ key →
+      // semantically "not ok", and no NULL group (whose sort position
+      // differs between engines) can appear
+      .groupBy(coalesce(regexp_extract(col("c_name"), "[0-9]+", 0).cast("long") ===
+        col("c_custkey"), lit(false)).as("ok"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("ok"))
 
@@ -433,7 +439,7 @@ object Queries2 {
 object Oracle2 {
 
   private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString(", ")
+    words.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
 
   val sql: Map[String, String] = Map(
     "q55_asof_join" ->
@@ -560,7 +566,7 @@ object Oracle2 {
         |  sum(n) OVER (PARTITION BY doc_id) AS tot FROM cnt)
         |SELECT doc_id,
         |  round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 4)
-        |    AS char_entropy
+        |    + 0.0 AS char_entropy
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q67_knn_join" ->
@@ -657,7 +663,8 @@ object Oracle2 {
         |FROM m ORDER BY month""".stripMargin,
 
     "q74_consistency_check" ->
-      """SELECT CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) = c_custkey AS ok,
+      """SELECT coalesce(TRY_CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT)
+        |    = c_custkey, FALSE) AS ok,
         |  count(*) AS n
         |FROM customer GROUP BY ok ORDER BY ok""".stripMargin,
 

@@ -125,8 +125,9 @@ object QueriesExt {
   /** Margin-vs-data disambiguation for cube/rollup/grouping-sets:
     * grouping() == 1 marks a margin row ('ALL'); a genuine NULL data
     * value surfaces as 'NULL' instead of being conflated with margins.
+    * Shared by q20 (cube), q43 (rollup), q44 (grouping sets).
     */
-  private def marginLabel(g: Column, v: Column): Column =
+  private[graft] def marginLabel(g: Column, v: Column): Column =
     when(g === 1, lit("ALL")).otherwise(coalesce(v, lit("NULL")))
 
   /** A5: rollup (lang → lang×source hierarchy margins). */

@@ -148,9 +148,16 @@ object Dedup {
       .persist()
     // labels only ever DECREASE, so Σ(lbl) is strictly monotone while
     // anything changes — an O(1)-row convergence probe with no extra
-    // join. Decimal sum: exact at any node-count/id magnitude.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // join. Decimal sum: exact at any node-count/id magnitude. None ⇔
+    // empty label set (sum of zero rows is NULL).
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0))
+    def sameSum(a: Option[java.math.BigDecimal],
+        b: Option[java.math.BigDecimal]): Boolean = (a, b) match {
+      case (Some(x), Some(y)) => x.compareTo(y) == 0
+      case (None, None) => true // empty graph: trivially converged
+      case _ => false
+    }
     var labels = und.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
@@ -168,7 +175,7 @@ object Dedup {
         .localCheckpoint()
       val s = lblSum(next)
       labels = next
-      if (s.compareTo(prevSum) == 0) converged = true else prevSum = s
+      if (sameSum(s, prevSum)) converged = true else prevSum = s
       iter += 1
     }
     und.unpersist()

@@ -59,6 +59,12 @@ class TextVectorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents on an empty edge list returns an empty result") {
+    import graft.operators.Dedup
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(edges, "a_id", "b_id").count() == 0)
+  }
+
   test("minhash explode-form == Column-form signatures") {
     import graft.operators.Dedup
     val docs = Seq((0L, "a b c d e f"), (1L, "x y z w v u t"), (2L, "a b"))
