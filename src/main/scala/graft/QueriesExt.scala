@@ -346,13 +346,20 @@ object OracleExt {
 
   private val langs = Seq("en", "fr", "es", "de", "zh")
 
+  /** DuckDB mirror of Text.minhashMix(h, i): the SAME A/B/C literals
+    * the Spark side uses, over a 60-bit base hash `h`.
+    */
+  private def mixSql(h: String, i: Int): String =
+    s"((($h & ${(1L << 30) - 1}) * ${Text.minhashA(i)} + " +
+      s"($h >> 30) * ${Text.minhashB(i)} + ${Text.minhashC(i)}) % ${1L << 60})"
+
   /** The q46 minhash-LSH banding candidate-pair pipeline as a reusable
     * CTE chain ending in `pairs(a_id, b_id)` — shared by the q46
     * oracle and the q62 connected-components oracle (Oracle2).
     */
   private[graft] val lshPairCtes: String = {
     val sigs = (0 until 8).map(i =>
-      s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
+      s"list_min(list_transform(hl, h -> ${mixSql("h", i)})) AS s$i")
       .mkString(",\n  ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || " +
@@ -360,9 +367,10 @@ object OracleExt {
       .mkString("\n  UNION ALL\n  ")
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${md5long("s")}) AS hl FROM g),
        |sig AS (SELECT doc_id,
        |  $sigs
-       |FROM g),
+       |FROM hs),
        |bands AS (
        |  $bandRows
        |),
@@ -411,13 +419,14 @@ object OracleExt {
 
     "q35_minhash_signature" -> {
       val sigs = (0 until 8).map(i =>
-        s"list_min(list_transform(sh, s -> ${md5long(s"'$i' || s")})) AS s$i")
+        s"list_min(list_transform(hl, h -> ${mixSql("h", i)})) AS s$i")
         .mkString(",\n  ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |g AS (SELECT doc_id, $shingles3 AS sh FROM t)
+         |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${md5long("s")}) AS hl FROM g)
          |SELECT doc_id,
          |  $sigs
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM hs ORDER BY doc_id""".stripMargin
     },
 
     "q36_simhash" -> {

@@ -45,16 +45,42 @@ object Text {
   def md5Long(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant for MinHash families: h_i(s) = md5Long(i || s). */
+  /** Seeded variant for MinHash families: h_i(s) = md5Long(i || s).
+    * (Kept for API completeness; the minhash pipeline now derives its
+    * families from ONE md5 via minhashMix — 8× fewer crypto hashes.)
+    */
   def md5LongSeeded(s: Column, seed: Int): Column =
     md5Long(concat(lit(seed.toString), s))
 
+  /** Universal-hash family constants for minhashMix, derived from a
+    * fixed seed so the DuckDB oracles can splice the SAME literals.
+    * A/B odd multipliers < 2^30; C < 2^60.
+    */
+  private val mixRnd = new scala.util.Random(42)
+  val minhashA: IndexedSeq[Long] =
+    IndexedSeq.fill(64)((mixRnd.nextInt(1 << 30).toLong << 1) | 1L)
+  val minhashB: IndexedSeq[Long] =
+    IndexedSeq.fill(64)((mixRnd.nextInt(1 << 30).toLong << 1) | 1L)
+  val minhashC: IndexedSeq[Long] =
+    IndexedSeq.fill(64)(mixRnd.nextLong() & ((1L << 60) - 1))
+
+  /** Family-i hash from one 60-bit base hash: split the base into two
+    * 30-bit halves and combine linearly mod 2^60 — products stay under
+    * 2^61, so the arithmetic is overflow-free in BOTH engines (DuckDB
+    * errors on BIGINT overflow rather than wrapping). One md5 per
+    * shingle instead of k (Broder-style universal families over a
+    * single strong fingerprint).
+    */
+  def minhashMix(h: Column, i: Int): Column =
+    (h.bitwiseAND(lit((1L << 30) - 1)) * lit(minhashA(i)) +
+      shiftright(h, 30) * lit(minhashB(i)) + lit(minhashC(i))) % lit(1L << 60)
+
   /** MinHash signature of a shingle array: array of k minima, one per
-    * seeded hash family. Classic shingle→minhash (Broder 1997).
+    * hash family. Classic shingle→minhash (Broder 1997).
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingleArr, s => md5LongSeeded(s, i)))
+      array_min(transform(shingleArr, s => minhashMix(md5Long(s), i)))
     }: _*)
 
   /** SimHash-64-ish fingerprint over tokens (Charikar 2002): for each

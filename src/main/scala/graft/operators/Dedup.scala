@@ -29,18 +29,22 @@ object Dedup {
     * n-gram shingles.
     *
     * Computed in explode+aggregate form: one interpreted shingle
-    * evaluation per doc, then k codegen'd seeded-md5 hashes per
-    * posting with map-side partial MIN — identical values to the
-    * array_min(transform(...)) Column form (Text.minhashSignature),
-    * but the hash kernel stays in codegen and is evaluated once
-    * (CollapseProject would inline the array form k× per consumer).
+    * evaluation per doc, ONE codegen'd md5 per posting, then k cheap
+    * universal-hash mixes with map-side partial MIN — identical values
+    * to the array_min(transform(...)) Column form
+    * (Text.minhashSignature), but the hash kernel stays in codegen and
+    * is evaluated once (CollapseProject would inline the array form k×
+    * per consumer).
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
       n: Int, k: Int): DataFrame = {
+    // ONE md5 per posting; the k families are cheap arithmetic mixes
+    // of that base hash (Text.minhashMix)
     val sh = df.select(id.as("doc_id"),
       explode(Text.shingles(text, n)).as("s"))
+      .withColumn("h", Text.md5Long(col("s")))
     val aggs = (0 until k).map(i =>
-      min(Text.md5LongSeeded(col("s"), i)).as(s"s$i"))
+      min(Text.minhashMix(col("h"), i)).as(s"s$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     // explode drops NULL-text docs; restore them with NULL signatures
     // (matches the Column-form and oracle semantics)
