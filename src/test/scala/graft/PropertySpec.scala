@@ -81,6 +81,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents is invariant to edge direction and duplication") {
+    val edges = Seq((5L, 2L), (2L, 9L), (7L, 8L)).toDF("a_id", "b_id")
+    val base = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // flipped + duplicated edge list → identical clustering
+    val messy = edges.select($"b_id".as("a_id"), $"a_id".as("b_id"))
+      .unionByName(edges).unionByName(edges)
+    val same = Dedup.connectedComponents(messy, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == same)
+    // every label is the min member of its component
+    base.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
+  test("property: q68 EWMA stays within each user's value range") {
+    val out = Queries2.q68(spark, sf)
+      .groupBy($"user_id")
+      .agg(min($"ewma").as("mne"), max($"ewma").as("mxe"),
+        min($"value").as("mnv"), max($"value").as("mxv"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(3) - 1e-6,
+        s"ewma min below value min for user ${r.getLong(0)}")
+      assert(r.getDouble(2) <= r.getDouble(4) + 1e-6,
+        s"ewma max above value max for user ${r.getLong(0)}")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("property: q69 gap fill covers at least the observed slots") {
+    val rows = Queries2.q69(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (slots, obs) = (r.getLong(1), r.getLong(2))
+      assert(obs >= 1 && slots >= obs,
+        s"user ${r.getLong(0)}: slots=$slots observed=$obs")
+    }
+  }
+
+  test("property: q75 histogram partitions all rows into buckets 0..19") {
+    val rows = Queries2.q75(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, sf).filter($"value".isNotNull).count())
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 19))
+  }
+
+  test("property: q67/q70 per-group ranks are 1..3 with valid scores") {
+    val knn = Queries2.q67(spark, sf).collect()
+    assert(knn.nonEmpty)
+    knn.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 3)
+      val c = r.getDouble(3); assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    val tfidf = Queries2.q70(spark, sf).collect()
+    assert(tfidf.nonEmpty)
+    tfidf.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 3)
+      assert(r.getDouble(3) >= 0.0, s"negative tfidf: $r")
+    }
+  }
+
   test("sketches: approx_count_distinct within rsd, percentile_approx sane") {
     val e = Tables.events(spark, sf)
     val row = e.agg(
