@@ -178,8 +178,16 @@ object QueriesExt {
 
   /** SimHash near-dup pairs: 16-bit packed fingerprints, pairs with
     * Hamming distance <= 1. The fingerprint is computed once per doc
-    * (narrow); at open scale the pair join buckets on fingerprint
-    * bit-bands exactly like minhash banding rather than all-pairs.
+    * (narrow).
+    *
+    * The pair stage stays a brute-force codegen'd join ON PURPOSE: a
+    * Hamming-half banding variant (pigeonhole on the two 8-bit halves,
+    * same result set) was measured SLOWER at sf0.1 — 16-bit
+    * fingerprints over correlated documents make the half-buckets
+    * dense and skewed, so Σ bucket² plus array pair-expansion loses to
+    * the tight n²/2 probe loop. At corpus scale the move is a WIDER
+    * fingerprint (64 bit), whose 16-bit bands are sparse — then the
+    * minhash-banding shape (q46) applies verbatim.
     */
   def q47(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.simhashPacked(documents(s, d), col("text"), col("doc_id"), 16)
