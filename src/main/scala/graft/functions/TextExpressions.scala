@@ -72,4 +72,65 @@ object TextExpressions {
   /** Distinct XXH64 hashes of word n-gram shingles. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+
+  /** One-pass md5-based shingle hashes for the MINHASH family: same
+    * tokenize + n-gram walk as ShingleHashes, but each gram is hashed
+    * with md5 and projected to the 60-bit value
+    * `conv(substring(md5(s),1,15),16,10)` — i.e. bit-identical to
+    * Text.md5Long over Text.shingles, computed WITHOUT materializing
+    * the shingle string array through the row pipeline or walking
+    * per-element interpreted lambdas. NOT deduplicated: a min over the
+    * multiset equals the min over the set, and q37's distinct-count
+    * semantics stay on ShingleHashes.
+    *
+    * (The first 15 hex chars of the digest are bytes 0..6 plus the
+    * high nibble of byte 7, read big-endian.)
+    */
+  case class Md5ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val md5 =
+      java.security.MessageDigest.getInstance("MD5")
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      val toks = mutable.ArrayBuffer.empty[String]
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          toks += text.substring(start, i); start = i + 1
+        }
+        i += 1
+      }
+      val grams = math.max(toks.length - n + 1, 1)
+      val out = new Array[Long](grams)
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      while (g < grams) {
+        sb.setLength(0)
+        var k = g
+        val end = math.min(g + n, toks.length)
+        while (k < end) {
+          if (k > g) sb.append(' ')
+          sb.append(toks(k)); k += 1
+        }
+        val d = md5.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v56 = 0L
+        var b = 0
+        while (b < 7) { v56 = (v56 << 8) | (d(b) & 0xffL); b += 1 }
+        out(g) = (v56 << 4) | ((d(7) & 0xf0L) >>> 4)
+        g += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** md5-derived 60-bit hashes of word n-gram shingles (minhash base). */
+  def md5_shingle_hashes(text: Column, n: Int): Column =
+    GraftShim.column(Md5ShingleHashes(GraftShim.expression(text), n))
 }

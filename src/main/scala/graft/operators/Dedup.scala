@@ -38,11 +38,12 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, text: Column, id: Column,
       n: Int, k: Int): DataFrame = {
-    // ONE md5 per posting; the k families are cheap arithmetic mixes
-    // of that base hash (Text.minhashMix)
+    // ONE md5 per posting, computed inside the single-pass
+    // Md5ShingleHashes expression (no shingle-string array in the row
+    // pipeline); the k families are cheap arithmetic mixes of that
+    // base hash (Text.minhashMix)
     val sh = df.select(id.as("doc_id"),
-      explode(Text.shingles(text, n)).as("s"))
-      .withColumn("h", Text.md5Long(col("s")))
+      explode(graft.functions.TextExpressions.md5_shingle_hashes(text, n)).as("h"))
     val aggs = (0 until k).map(i =>
       min(Text.minhashMix(col("h"), i)).as(s"s$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

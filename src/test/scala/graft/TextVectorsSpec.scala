@@ -48,6 +48,18 @@ class TextVectorsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("Md5ShingleHashes == md5Long over Text.shingles (bit-identical)") {
+    import graft.functions.TextExpressions
+    val docs = Seq("a b c d e", "x", "", "汉字 漢字 测试 again",
+      "one two", "a  b").toDF("t") // incl. empty token cases
+    val fused = docs.select(TextExpressions.md5_shingle_hashes($"t", 3))
+      .collect().map(_.getSeq[Long](0).toList)
+    val composed = docs.select(
+      transform(Text.shingles($"t", 3), s => Text.md5Long(s)))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(fused.toList == composed.toList)
+  }
+
   test("connectedComponents clusters planted chains and keeps singletons apart") {
     import graft.operators.Dedup
     // components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a star)
