@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Text, TextExpressions}
+import graft.operators.Dedup
+
+/** Round-2 training-data-pipeline extensions (SURVEY.md §2.8 widened):
+  * the curation stages a 100 TB LLM-data pipeline runs after near-dup
+  * detection — edit-distance verification of candidate pairs, cluster
+  * representative selection, deterministic train/val/test splitting,
+  * benchmark-contamination screening, and domain-mixture reweighting.
+  *
+  * Determinism conventions as everywhere (SURVEY.md §7.4): ORDER BY
+  * unique keys, 4-dp rounding of derived floats, md5-derived hashes
+  * for every cross-engine random-like decision (never RNG).
+  */
+object Queries3 {
+  import Tables._
+
+  /** Edit-distance near-dup pairs (the precision pass after LSH-style
+    * recall): same-language pairs within 30 chars of each other's
+    * length whose Levenshtein distance is ≤ 30.
+    *
+    * Scale shape: docs are blocked on (lang, 31-char length band) and
+    * each right-side doc is probed into its own and both adjacent
+    * bands, so any pair passing the |Δlen| ≤ 30 prefilter meets in
+    * EXACTLY one (band, lang) bucket — the quadratic term is bounded
+    * per bucket, parallel across buckets, and no pair is emitted
+    * twice. The threshold form of `levenshtein` abandons the DP early
+    * once a row exceeds 30, so rejected pairs cost O(len·30), not
+    * O(len²). The banding is semantically invisible (band width 31 ⊇
+    * the |Δlen| ≤ 30 prefilter, itself implied by dist ≤ 30): the
+    * oracle is the plain blocked join.
+    */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        (col("n_chars") / 31).cast("long").as("band"))
+    val probe = docs
+      .select(col("doc_id").as("b_id"), col("lang"), col("text").as("b_text"),
+        col("n_chars").as("b_chars"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    docs.join(probe, Seq("lang", "band"))
+      .filter(col("doc_id") < col("b_id") &&
+        abs(col("n_chars") - col("b_chars")) <= 30)
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        levenshtein(col("text"), col("b_text"), 30).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Dedup-cluster representative selection: for every q62 cluster,
+    * keep the highest-quality member (ties broken by min doc_id) —
+    * the "which copy survives" decision of a dedup pipeline, driven
+    * by the q33 quality score compared UNROUNDED so both engines
+    * rank identically. One window pass over the (tiny) clustered
+    * subset; the cluster assignment itself reuses the q62 operators.
+    */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
+      n = 3, bands = 4, rowsPerBand = 2)
+    val cc = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    val qual = documents(s, d)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy(col("cluster_id"))
+    cc.join(qual, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w.orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_docs"), round(col("q"), 4).as("rep_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Deterministic train/val/test assignment: the md5-derived 60-bit
+    * content hash mod 100 buckets every doc 80/10/10. Reproducible
+    * across runs, engines, and re-shards (the hash is content-keyed,
+    * not position-keyed); at 100 TB this is a narrow projection — no
+    * shuffle, no RNG seed to coordinate across executors.
+    */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(Text.md5Long(col("text")), lit(100L))
+    documents(s, d)
+      .select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination screen: count, per train/val doc, the
+    * distinct 7-gram shingles it shares with ANY test-split doc
+    * (q78's buckets ≥ 90 are the held-out set). The test side's
+    * distinct shingle hashes are a small relation — broadcast — so
+    * the train side never shuffles; a doc sharing ≥ 1 seven-gram
+    * with the benchmark is flagged. Shingle hashes come from the
+    * single-pass Md5ShingleHashes kernel (bit-identical to
+    * md5Long∘shingles, which the oracle mirrors).
+    */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val h = documents(s, d)
+      .select(col("doc_id"), pmod(Text.md5Long(col("text")), lit(100L)).as("b"),
+        explode(TextExpressions.md5_shingle_hashes(col("text"), 7)).as("h"))
+      .select(col("doc_id"), col("b"), col("h")).distinct()
+    val bench = h.filter(col("b") >= 90).select(col("h").as("bh")).distinct()
+    h.filter(col("b") < 90)
+      .join(broadcast(bench), col("h") === col("bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bh")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") >= 1).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain-mixture reweighting: resample each language toward a
+    * uniform 1/5 target share. The per-language keep threshold is
+    * EXACT integer arithmetic — `(10000·total) div (5·n_lang)` capped
+    * at 10000 — and the keep decision is the content hash mod 10000
+    * under that threshold, so the subsample is deterministic and both
+    * engines agree on every boundary doc. The 5-row threshold table
+    * broadcasts; the fact side is one narrow filtered aggregate.
+    */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("lang"), Text.md5Long(col("text")).as("hl"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"),
+        least(lit(10000L), expr("(10000 * total) div (5 * n_docs)")).as("thresh"))
+    val kept = docs.join(broadcast(per), Seq("lang"))
+      .filter(pmod(col("hl"), lit(10000L)) < col("thresh"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    per.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("thresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_edit_distance_pairs" -> (q76 _),
+    "q77_cluster_rep" -> (q77 _),
+    "q78_split_assign" -> (q78 _),
+    "q79_contamination" -> (q79 _),
+    "q80_mix_weights" -> (q80 _)
+  )
+}
+
+/** DuckDB oracles for Queries3. The q77 cluster CTEs are the SAME
+  * generated SQL the q62 oracle uses (OracleExt.lshPairCtes), so the
+  * two queries cannot drift.
+  */
+object Oracle3 {
+
+  private def md5long(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB mirror of Text.shingles(text, 7) (clamped-slice form). */
+  private val shingles7 =
+    "list_transform(range(1, greatest(len(toks)-6, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+6], ' '))"
+
+  val sql: Map[String, String] = Map(
+    "q76_edit_distance_pairs" ->
+      """SELECT a_id, b_id, dist FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    levenshtein(a.text, b.text) AS dist
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 30)
+        |WHERE dist <= 30 ORDER BY a_id, b_id""".stripMargin,
+
+    "q77_cluster_rep" ->
+      s"""WITH RECURSIVE ${OracleExt.lshPairCtes},
+         |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM und),
+         |walk(n, lbl) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT und.dst, walk.lbl FROM walk JOIN und ON walk.n = und.src
+         |  WHERE walk.lbl < und.dst
+         |),
+         |comp AS (SELECT n AS doc_id, min(lbl) AS cluster_id
+         |         FROM walk GROUP BY n),
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |qual AS (SELECT doc_id,
+         |  (least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         |   + least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |       / CAST(greatest(len(toks), 1) AS DOUBLE) / 5.0, 1.0)
+         |   + least(CAST(len(list_filter(toks, x -> x IN
+         |       (${OracleExt.allStopwordsIn}))) AS DOUBLE)
+         |       / CAST(greatest(len(toks), 1) AS DOUBLE) * 5.0, 1.0)) / 3.0 AS q
+         |  FROM tq),
+         |ranked AS (SELECT c.cluster_id, c.doc_id, qual.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |                       ORDER BY qual.q DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+         |  FROM comp c JOIN qual ON c.doc_id = qual.doc_id)
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_docs,
+         |  round(q, 4) AS rep_quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q78_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${md5long("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${md5long("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q79_contamination" ->
+      s"""WITH s AS (SELECT doc_id, ${md5long("text")} % 100 AS b,
+         |             string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, b, unnest($shingles7) AS sh FROM s),
+         |h AS (SELECT DISTINCT doc_id, b, ${md5long("sh")} AS h FROM g),
+         |bench AS (SELECT DISTINCT h FROM h WHERE b >= 90),
+         |tr AS (SELECT doc_id, h FROM h WHERE b < 90)
+         |SELECT t.doc_id, count(bench.h) AS n_shared,
+         |  count(bench.h) >= 1 AS contaminated
+         |FROM tr t LEFT JOIN bench ON t.h = bench.h
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q80_mix_weights" ->
+      s"""WITH n AS (SELECT count(*) AS total FROM documents),
+         |per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |thr AS (SELECT lang, n_docs,
+         |  CAST(least(10000, (10000 * total) // (5 * n_docs)) AS BIGINT) AS thresh
+         |  FROM per, n)
+         |SELECT t.lang, t.n_docs, t.thresh,
+         |  (SELECT count(*) FROM documents d
+         |    WHERE d.lang = t.lang
+         |      AND ${md5long("d.text")} % 10000 < t.thresh) AS n_kept
+         |FROM thr t ORDER BY t.lang""".stripMargin
+  )
+}

@@ -332,6 +332,12 @@ object OracleExt {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** Full stopword list as a SQL IN-list — shared with Oracle3's q77
+    * quality CTE so it cannot drift from the q33 oracle's formula.
+    */
+  private[graft] def allStopwordsIn: String =
+    inList(Text.stopwords.values.flatten.toSeq)
+
   private def md5long(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
@@ -406,7 +412,7 @@ object OracleExt {
     },
 
     "q33_quality_score" -> {
-      val allStop = inList(Text.stopwords.values.flatten.toSeq)
+      val allStop = allStopwordsIn
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT doc_id,
          |  len(toks) AS n_tok,

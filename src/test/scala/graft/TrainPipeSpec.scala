@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the q76-q80 training-data curation family
+  * (edit-distance pairs, cluster representatives, split assignment,
+  * contamination screen, mixture reweighting). Value parity with
+  * DuckDB is the oracle gate; these pin the operator CONTRACTS.
+  */
+class TrainPipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q76: pairs are same-lang, ordered, within both thresholds") {
+    val pairs = Queries3.q76(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    pairs.foreach { p =>
+      val (a, b) = (docs(p.getLong(0)), docs(p.getLong(1)))
+      assert(p.getLong(0) < p.getLong(1), "pair not ordered")
+      assert(a.getString(1) == b.getString(1), "cross-lang pair")
+      assert(math.abs(a.getLong(3) - b.getLong(3)) <= 30, "length prefilter leak")
+      val d = p.getInt(2)
+      assert(d >= 0 && d <= 30, s"distance $d outside threshold")
+    }
+  }
+
+  test("q76: banding finds exactly the pairs a plain blocked join finds") {
+    // semantically-invisible banding: recompute without bands
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text", $"n_chars")
+    val plain = docs.as("a").join(docs.as("b"),
+        $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
+          abs($"a.n_chars" - $"b.n_chars") <= 30)
+      .filter(levenshtein($"a.text", $"b.text", 30) >= 0)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val banded = Queries3.q76(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(banded == plain, s"banded=$banded plain=$plain")
+  }
+
+  test("q77: the representative has max quality in its cluster") {
+    import graft.operators.Dedup
+    import graft.functions.Text
+    val docs = Tables.documents(spark, sf)
+    val edges = Dedup.lshCandidates(docs, $"text", $"doc_id", 3, 4, 2)
+    val members = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .join(docs.select($"doc_id", Text.qualityScore($"text").as("q")),
+        $"node" === $"doc_id")
+      .select($"cluster", $"doc_id", $"q")
+      .collect().groupBy(_.getLong(0))
+    val reps = Queries3.q77(spark, sf).collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      val cluster = members(r.getLong(0))
+      assert(r.getLong(2) == cluster.length, "n_docs != member count")
+      val repQ = cluster.find(_.getLong(1) == r.getLong(1)).get.getDouble(2)
+      assert(cluster.forall(_.getDouble(2) <= repQ + 1e-12), "rep not max-quality")
+    }
+  }
+
+  test("q78: every doc gets exactly one split; assignment is content-keyed") {
+    val out = Queries3.q78(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    assert(out.select($"split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // re-running yields the identical assignment (no RNG)
+    assert(Queries3.q78(spark, sf).except(out).isEmpty)
+  }
+
+  test("q79: test-split docs are excluded; flag equals n_shared >= 1") {
+    import graft.functions.Text
+    val out = Queries3.q79(spark, sf).collect()
+    val testDocs = Tables.documents(spark, sf)
+      .filter(pmod(Text.md5Long($"text"), lit(100L)) >= 90)
+      .select($"doc_id").as[Long].collect().toSet
+    out.foreach { r =>
+      assert(!testDocs.contains(r.getLong(0)), "test doc in screened set")
+      assert(r.getBoolean(2) == (r.getLong(1) >= 1), "flag drift")
+    }
+    assert(out.length == Tables.documents(spark, sf).count() - testDocs.size)
+  }
+
+  test("q80: thresholds cap at 10000 and kept counts recount exactly") {
+    import graft.functions.Text
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val rows = Queries3.q80(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (lang, nDocs, thresh, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected = math.min(10000L, (10000L * total) / (5L * nDocs))
+      assert(thresh == expected, s"$lang thresh $thresh != $expected")
+      assert(nKept <= nDocs)
+      if (nDocs * 5 <= total) assert(thresh == 10000L, "under-represented lang must keep all")
+      val recount = docs.filter($"lang" === lang &&
+        pmod(Text.md5Long($"text"), lit(10000L)) < thresh).count()
+      assert(nKept == recount, s"$lang kept $nKept != recount $recount")
+    }
+  }
+}
