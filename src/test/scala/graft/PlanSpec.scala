@@ -60,4 +60,18 @@ class PlanSpec extends SparkSpec {
     // partial+final = two HashAggregate operators around the exchange
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(400))
   }
+
+  test("q79: the benchmark shingle set broadcasts (train side unshuffled by the join)") {
+    assert(simple("q79_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("q80: the 5-row threshold dim broadcasts into the fact filter") {
+    assert(simple("q80_mix_weights").contains("BroadcastHashJoin"))
+  }
+
+  test("q76: pair generation is an equi-join on (lang, band), not a cartesian") {
+    val p = simple("q76_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
 }
