@@ -165,15 +165,21 @@ object Queries {
   def q17(s: SparkSession, d: String): DataFrame = {
     // pid-unique path: concurrent harness JVMs (Bench ∥ Verify on the
     // same sf) must not race on the overwrite of one lake directory.
-    // Stale sibling runs (> 1 h old — long past any live JVM) are
-    // swept so repeated harness cycles don't leak a dataset copy per
-    // pid.
+    // Sibling runs are swept only once their OWNER PID IS DEAD (mtime
+    // alone could delete a slow-but-live sibling's lake mid-read);
+    // unparseable names fall back to a 1-hour mtime cutoff.
     val pid = ProcessHandle.current().pid()
     val root = new java.io.File("/root/repo/target/lake")
     val cutoff = System.currentTimeMillis() - 3600L * 1000
+    def ownerDead(name: String): Boolean =
+      name.split("_p").lastOption.flatMap(_.toLongOption) match {
+        case Some(p) => !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+        case None => false
+      }
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("q17_") &&
-        !f.getName.endsWith(s"_p$pid") && f.lastModified() < cutoff)
+        !f.getName.endsWith(s"_p$pid") &&
+        (ownerDead(f.getName) || f.lastModified() < cutoff))
       .foreach { dir =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -19,34 +19,59 @@ import graft.operators.Dedup
 object Queries3 {
   import Tables._
 
-  /** Edit-distance near-dup pairs (the precision pass after LSH-style
-    * recall): same-language pairs within 30 chars of each other's
-    * length whose Levenshtein distance is ≤ 30.
+  /** Exact edit-distance near-dup pairs: same-language pairs within
+    * 10 chars of each other's length whose Levenshtein distance is
+    * ≤ 10 (planted near-dups sit at distance ~4).
     *
-    * Scale shape: docs are blocked on (lang, 31-char length band) and
+    * Scale shape: docs are blocked on (lang, 11-char length band) and
     * each right-side doc is probed into its own and both adjacent
-    * bands, so any pair passing the |Δlen| ≤ 30 prefilter meets in
+    * bands, so any pair passing the |Δlen| ≤ 10 prefilter meets in
     * EXACTLY one (band, lang) bucket — the quadratic term is bounded
     * per bucket, parallel across buckets, and no pair is emitted
     * twice. The threshold form of `levenshtein` abandons the DP early
-    * once a row exceeds 30, so rejected pairs cost O(len·30), not
-    * O(len²). The banding is semantically invisible (band width 31 ⊇
-    * the |Δlen| ≤ 30 prefilter, itself implied by dist ≤ 30): the
-    * oracle is the plain blocked join.
+    * once a row exceeds 10, so rejected pairs cost O(len·10), not
+    * O(len²). The banding is semantically invisible (band width 11 ⊇
+    * the |Δlen| ≤ 10 prefilter, itself implied by dist ≤ 10): the
+    * oracle is the plain blocked join. This stays exact-quadratic
+    * within blocks; q81 is the sub-quadratic LSH-verified form for
+    * open-scale corpora.
     */
   def q76(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
-        (col("n_chars") / 31).cast("long").as("band"))
+        (col("n_chars") / 11).cast("long").as("band"))
     val probe = docs
       .select(col("doc_id").as("b_id"), col("lang"), col("text").as("b_text"),
         col("n_chars").as("b_chars"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
     docs.join(probe, Seq("lang", "band"))
       .filter(col("doc_id") < col("b_id") &&
-        abs(col("n_chars") - col("b_chars")) <= 30)
+        abs(col("n_chars") - col("b_chars")) <= 10)
       .select(col("doc_id").as("a_id"), col("b_id"),
-        levenshtein(col("text"), col("b_text"), 30).as("dist"))
+        levenshtein(col("text"), col("b_text"), 10).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** LSH-verified near-dup pairs — the open-scale (sub-quadratic)
+    * composition: MinHash-LSH banding proposes candidates (q46's
+    * operator, shuffles only (band, bucket) keys), then exact
+    * threshold Levenshtein verifies each candidate — the classic
+    * recall stage → precision stage pipeline. Pair fan-out is bounded
+    * by bucket collisions, never |docs|²; the verification cost is
+    * O(candidates · len · 30). Oracle reuses the SAME generated LSH
+    * CTEs as q46/q62 plus DuckDB's levenshtein.
+    */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Dedup.lshCandidates(docs, col("text"), col("doc_id"),
+      n = 3, bands = 4, rowsPerBand = 2)
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text"), 30).as("dist"))
       .filter(col("dist") >= 0)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -140,6 +165,7 @@ object Queries3 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_edit_distance_pairs" -> (q76 _),
+    "q81_lsh_verified_pairs" -> (q81 _),
     "q77_cluster_rep" -> (q77 _),
     "q78_split_assign" -> (q78 _),
     "q79_contamination" -> (q79 _),
@@ -168,8 +194,18 @@ object Oracle3 {
         |    levenshtein(a.text, b.text) AS dist
         |  FROM documents a JOIN documents b
         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |   AND abs(a.n_chars - b.n_chars) <= 30)
-        |WHERE dist <= 30 ORDER BY a_id, b_id""".stripMargin,
+        |   AND abs(a.n_chars - b.n_chars) <= 10)
+        |WHERE dist <= 10 ORDER BY a_id, b_id""".stripMargin,
+
+    "q81_lsh_verified_pairs" ->
+      s"""WITH ${OracleExt.lshPairCtes},
+         |v AS (SELECT p.a_id, p.b_id,
+         |    levenshtein(da.text, db.text) AS dist
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.a_id
+         |  JOIN documents db ON db.doc_id = p.b_id)
+         |SELECT a_id, b_id, dist FROM v
+         |WHERE dist <= 30 ORDER BY a_id, b_id""".stripMargin,
 
     "q77_cluster_rep" ->
       s"""WITH RECURSIVE ${OracleExt.lshPairCtes},

@@ -54,7 +54,8 @@ object Text {
 
   /** Universal-hash family constants for minhashMix, derived from a
     * fixed seed so the DuckDB oracles can splice the SAME literals.
-    * A/B odd multipliers < 2^30; C < 2^60.
+    * A/B odd multipliers < 2^31 (a 30-bit draw shifted left once,
+    * low bit set); C < 2^60.
     */
   private val mixRnd = new scala.util.Random(42)
   val minhashA: IndexedSeq[Long] =
@@ -65,11 +66,15 @@ object Text {
     IndexedSeq.fill(64)(mixRnd.nextLong() & ((1L << 60) - 1))
 
   /** Family-i hash from one 60-bit base hash: split the base into two
-    * 30-bit halves and combine linearly mod 2^60 — products stay under
-    * 2^61, so the arithmetic is overflow-free in BOTH engines (DuckDB
-    * errors on BIGINT overflow rather than wrapping). One md5 per
-    * shingle instead of k (Broder-style universal families over a
-    * single strong fingerprint).
+    * 30-bit halves and combine linearly mod 2^60. Each product is a
+    * 30-bit half × a sub-2^31 multiplier < 2^61, and the 3-term sum
+    * stays under 2^61 + 2^61 + 2^60 < 2^63, so the arithmetic is
+    * overflow-free in BOTH engines (DuckDB errors on BIGINT overflow
+    * rather than wrapping). Widening the base hash past 60 bits or the
+    * multipliers past 2^31 would break this bound — re-derive it
+    * before touching either. One md5 per shingle instead of k
+    * (Broder-style universal families over a single strong
+    * fingerprint).
     */
   def minhashMix(h: Column, i: Int): Column =
     (h.bitwiseAND(lit((1L << 30) - 1)) * lit(minhashA(i)) +

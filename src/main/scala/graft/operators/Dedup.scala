@@ -133,15 +133,19 @@ object Dedup {
     * (cluster id = min doc id in the component; one kept doc per
     * cluster).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds. Each round is one shuffle keyed on
-    * node id — no driver-side graph state, so it scales with the
-    * edge list, not the corpus. Near-dup components are shallow
-    * (dozens of docs), so rounds stay low; a massive-graph deployment
-    * would swap in the large-star/small-star contraction, same
-    * DataFrame shape. `localCheckpoint` truncates the iterative
-    * lineage so plans don't grow with the round count.
+    * Iterative min-label propagation WITH pointer-jump shortcutting:
+    * each round every node takes the minimum label among itself and
+    * its neighbors (one join), then jumps to its label's label (a
+    * second join — the label table is keyed by node, and every label
+    * is a node id, so the lookup always hits). Neighbor propagation
+    * alone needs O(component diameter) rounds; the jump halves label
+    * depth every round, so a length-L chain converges in O(log L)
+    * rounds — a 1000-doc boilerplate chain is ~10 rounds, not 1000.
+    * Each round is two shuffles keyed on node id — no driver-side
+    * graph state, so it scales with the edge list, not the corpus.
+    * A massive-graph deployment would swap in large-star/small-star
+    * contraction, same DataFrame shape. `localCheckpoint` truncates
+    * the iterative lineage so plans don't grow with the round count.
     *
     * Returns (node, cluster) for every node present in `pairs`.
     */
@@ -173,10 +177,17 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // min over {self} ∪ neighbors in ONE join + ONE partial+final
       // aggregate per round
-      val next = labels.unionByName(
+      val prop = labels.unionByName(
         und.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lbl")))
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl ← min(lbl, lbl(lbl)). Labels are node ids,
+      // so the self-join always finds a row; "left" guards the first
+      // rounds where a label may not have stabilized as a key yet.
+      val next = prop
+        .join(prop.select(col("node").as("ln"), col("lbl").as("l2")),
+          col("lbl") === col("ln"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("l2"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val s = lblSum(next)
       labels = next

@@ -19,9 +19,9 @@ class TrainPipeSpec extends SparkSpec {
       val (a, b) = (docs(p.getLong(0)), docs(p.getLong(1)))
       assert(p.getLong(0) < p.getLong(1), "pair not ordered")
       assert(a.getString(1) == b.getString(1), "cross-lang pair")
-      assert(math.abs(a.getLong(3) - b.getLong(3)) <= 30, "length prefilter leak")
+      assert(math.abs(a.getLong(3) - b.getLong(3)) <= 10, "length prefilter leak")
       val d = p.getInt(2)
-      assert(d >= 0 && d <= 30, s"distance $d outside threshold")
+      assert(d >= 0 && d <= 10, s"distance $d outside threshold")
     }
   }
 
@@ -30,12 +30,25 @@ class TrainPipeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text", $"n_chars")
     val plain = docs.as("a").join(docs.as("b"),
         $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
-          abs($"a.n_chars" - $"b.n_chars") <= 30)
-      .filter(levenshtein($"a.text", $"b.text", 30) >= 0)
+          abs($"a.n_chars" - $"b.n_chars") <= 10)
+      .filter(levenshtein($"a.text", $"b.text", 10) >= 0)
       .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
     val banded = Queries3.q76(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(banded == plain, s"banded=$banded plain=$plain")
+  }
+
+  test("q81: verified pairs are exactly the LSH candidates within distance 30") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val cand = Dedup.lshCandidates(docs, $"text", $"doc_id", 3, 4, 2)
+      .as[(Long, Long)].collect().toSet
+    val verified = Queries3.q81(spark, sf).collect()
+    assert(verified.nonEmpty)
+    verified.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))), "pair not an LSH candidate")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 30)
+    }
   }
 
   test("q77: the representative has max quality in its cluster") {
