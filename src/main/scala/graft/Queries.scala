@@ -171,15 +171,21 @@ object Queries {
     val pid = ProcessHandle.current().pid()
     val root = new java.io.File("/root/repo/target/lake")
     val cutoff = System.currentTimeMillis() - 3600L * 1000
-    def ownerDead(name: String): Boolean =
-      name.split("_p").lastOption.flatMap(_.toLongOption) match {
-        case Some(p) => !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
-        case None => false
-      }
+    // parseable-PID dirs whose owner LOOKS alive still age out after
+    // 24 h: a recycled PID on a busy host would otherwise pin an
+    // orphaned lake directory forever (no harness run lives that long)
+    val cutoffRecycled = System.currentTimeMillis() - 24L * 3600 * 1000
+    def ownerPid(name: String): Option[Long] =
+      name.split("_p").lastOption.flatMap(_.toLongOption)
+    def ownerDead(name: String): Boolean = ownerPid(name) match {
+      case Some(p) => !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+      case None => false
+    }
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("q17_") &&
         !f.getName.endsWith(s"_p$pid") &&
-        (ownerDead(f.getName) || f.lastModified() < cutoff))
+        (ownerDead(f.getName) || f.lastModified() <
+          (if (ownerPid(f.getName).isDefined) cutoffRecycled else cutoff)))
       .foreach { dir =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Signal, Text, Vectors}
-import graft.operators.{AsOf, Dedup}
+import graft.operators.AsOf
 
 /** Round-2 relational extensions (SURVEY.md §2.5/§2.6 widened): as-of
   * join surfaced as an oracled query (DuckDB ASOF JOIN), broadcast
@@ -150,13 +150,10 @@ object Queries2 {
     * kept representative. Oracle: recursive CTE over the identical
     * pair set.
     */
-  def q62(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
-      n = 3, bands = 4, rowsPerBand = 2)
-    Dedup.connectedComponents(edges, "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
+  def q62(s: SparkSession, d: String): DataFrame =
+    // candidate pairs + CC come from the materialized-once LSH stage
+    // (LshStages) shared with q46/q77/q81 — same values, computed once
+    LshStages.clusters(s, d).orderBy(col("doc_id"))
 
   /** Normalization-then-exact dedup: strip digits, collapse runs of
     * spaces, trim; canonical doc = min doc_id per normalized
@@ -313,19 +310,22 @@ object Queries2 {
     * tie-break. df table shuffles on the term; N is a 1-row broadcast.
     */
   def q70(s: SparkSession, d: String): DataFrame = {
-    // N as a driver-side literal (docs with text — every such doc
+    // N via a broadcast 1-row aggregate (q75/q80 house shape — no
+    // driver-side action, no extra job; docs with text — every such doc
     // yields ≥1 token, so this equals the oracle's distinct-doc count);
     // df via a window over the (doc, term) aggregate. ONE tokenize+
     // explode pass total — a tf⋈df join would re-run it per consumer.
-    val nDocs = documents(s, d).filter(col("text").isNotNull).count().toDouble
+    val nd = documents(s, d).filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("nd"))
     val tf = documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val w0 = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("w"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+    tf.crossJoin(broadcast(nd))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs) / col("df")), 4))
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 4))
       .withColumn("rk", row_number().over(w0))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("w").as("term"), col("tfidf"))
@@ -399,9 +399,13 @@ object Queries2 {
   def q75(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     val st = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    // greatest(width, tiny): a degenerate all-equal column makes the
+    // width 0 and 0/0 → NaN, where Spark's int cast and DuckDB's
+    // diverge (error vs value); the floor guard keeps bucket 0 on both
     e.crossJoin(broadcast(st))
       .select(least(floor((col("value") - col("mn")) /
-        ((col("mx") - col("mn")) / lit(20.0))), lit(19.0)).cast("int").as("bucket"))
+        greatest((col("mx") - col("mn")) / lit(20.0), lit(1e-300))),
+        lit(19.0)).cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
@@ -670,8 +674,8 @@ object Oracle2 {
 
     "q75_histogram" ->
       """WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19) AS INTEGER)
-        |    AS bucket,
+        |SELECT CAST(least(floor((value - mn) / greatest((mx - mn) / 20.0, 1e-300)), 19)
+        |    AS INTEGER) AS bucket,
         |  count(*) AS n
         |FROM events, st GROUP BY bucket ORDER BY bucket""".stripMargin
   )

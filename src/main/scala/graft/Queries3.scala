@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Text, TextExpressions}
-import graft.operators.Dedup
 
 /** Round-2 training-data-pipeline extensions (SURVEY.md §2.8 widened):
   * the curation stages a 100 TB LLM-data pipeline runs after near-dup
@@ -64,8 +63,7 @@ object Queries3 {
     */
   def q81(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val cand = Dedup.lshCandidates(docs, col("text"), col("doc_id"),
-      n = 3, bands = 4, rowsPerBand = 2)
+    val cand = LshStages.candidatePairs(s, d)
     val t = docs.select(col("doc_id"), col("text"))
     cand
       .join(t.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
@@ -84,10 +82,7 @@ object Queries3 {
     * subset; the cluster assignment itself reuses the q62 operators.
     */
   def q77(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
-      n = 3, bands = 4, rowsPerBand = 2)
-    val cc = Dedup.connectedComponents(edges, "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+    val cc = LshStages.clusters(s, d)
     val qual = documents(s, d)
       .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy(col("cluster_id"))
@@ -157,6 +152,8 @@ object Queries3 {
     val kept = docs.join(broadcast(per), Seq("lang"))
       .filter(pmod(col("hl"), lit(10000L)) < col("thresh"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    // NULLS FIRST on the oracle side mirrors Spark's asc default, so a
+    // NULL lang group (future datagen) cannot break row-order parity
     per.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("thresh"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
@@ -267,6 +264,6 @@ object Oracle3 {
          |  (SELECT count(*) FROM documents d
          |    WHERE d.lang = t.lang
          |      AND ${md5long("d.text")} % 10000 < t.thresh) AS n_kept
-         |FROM thr t ORDER BY t.lang""".stripMargin
+         |FROM thr t ORDER BY t.lang NULLS FIRST""".stripMargin
   )
 }

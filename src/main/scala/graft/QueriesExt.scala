@@ -172,33 +172,25 @@ object QueriesExt {
     * duplicates to prove recall (TextVectorsSpec).
     */
   def q46(s: SparkSession, d: String): DataFrame =
-    Dedup.lshCandidates(documents(s, d), col("text"), col("doc_id"),
-      n = 3, bands = 4, rowsPerBand = 2)
+    LshStages.candidatePairs(s, d)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** SimHash near-dup pairs: 16-bit packed fingerprints, pairs with
-    * Hamming distance <= 1. The fingerprint is computed once per doc
-    * (narrow).
-    *
-    * The pair stage stays a brute-force codegen'd join ON PURPOSE: a
-    * Hamming-half banding variant (pigeonhole on the two 8-bit halves,
-    * same result set) was measured SLOWER at sf0.1 — 16-bit
-    * fingerprints over correlated documents make the half-buckets
-    * dense and skewed, so Σ bucket² plus array pair-expansion loses to
-    * the tight n²/2 probe loop. At corpus scale the move is a WIDER
-    * fingerprint (64 bit), whose 16-bit bands are sparse — then the
-    * minhash-banding shape (q46) applies verbatim.
+  /** SimHash near-dup pairs: 48-bit packed fingerprints, pairs with
+    * Hamming distance ≤ 3, generated by bit-band bucketing
+    * (Dedup.simhashPairs) — one shuffle on (band, 12-bit band value),
+    * never an all-pairs join. Pigeonhole over 4 bands covers every
+    * ≤3-flip pair; the exact in-bucket Hamming filter makes banding
+    * result-invariant, which the oracle proves by BEING the
+    * brute-force form (and ScaleOpsSpec re-proves in-engine). The
+    * earlier 16-bit/Hamming≤1 declaration could only pair via a
+    * measured-slower dense-half band or a BNLJ that dies at 100×;
+    * widening the fingerprint is what makes band buckets sparse enough
+    * to bucket on — width and banding move together.
     */
-  def q47(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.simhashPacked(documents(s, d), col("text"), col("doc_id"), 16)
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
-      .filter(col("hamming") <= 1)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+  def q47(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), col("text"), col("doc_id"),
+      bits = 48, bands = 4, maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** Multimodal feature extraction surfaced in the driver harness
     * (no DuckDB oracle — binary decode is not SQL-expressible; the
@@ -540,17 +532,22 @@ object OracleExt {
          |SELECT a_id, b_id FROM pairs
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // the oracle is deliberately the BRUTE-FORCE all-pairs form: its
+    // agreement with the Spark side's bit-band bucketed generator is
+    // the result-invariance proof for the banding
     "q47_simhash_pairs" -> {
-      val shBits = (0 until 16).map { b =>
+      val shBits = (0 until 48).map { b =>
         val mask = 1L << b
-        s"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (${md5long("t")} & $mask) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${mask}::BIGINT ELSE 0::BIGINT END)"
-      }.mkString(" + ")
+        s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h & ${mask}::BIGINT) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${mask}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("\n  + ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |s AS (SELECT doc_id, $shBits AS sh FROM t)
+         |hv AS (SELECT doc_id, list_transform(toks, t -> ${md5long("t")}) AS hl FROM t),
+         |s AS (SELECT doc_id,
+         |  $shBits AS sh FROM hv)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 1
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },
 

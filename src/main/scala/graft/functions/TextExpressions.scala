@@ -91,10 +91,15 @@ object TextExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
-    @transient private lazy val md5 =
-      java.security.MessageDigest.getInstance("MD5")
+    // ThreadLocal: MessageDigest is not thread-safe, and one expression
+    // instance may be evaluated from several threads (driver-side eval,
+    // plan reuse) even though task deserialization usually isolates it
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
 
     override def nullSafeEval(v: Any): Any = {
+      val md5 = md5Local.get()
       val text = v.asInstanceOf[UTF8String].toString
       val toks = mutable.ArrayBuffer.empty[String]
       var start = 0; var i = 0

@@ -46,6 +46,19 @@ object Ann {
       when(dot > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Deterministic pseudo-random hyperplane codebook (Knuth
+    * multiplicative hash over the component index, mapped to [-1, 1)).
+    * Literal doubles, so the SAME values can be spliced into an oracle
+    * SQL — no RNG seed to coordinate across engines or executors. At
+    * corpus scale the codebook GROWS (more planes → 2^n buckets):
+    * bucket cardinality tracks the corpus, unlike a fixed label/
+    * category blocking key whose per-block population grows linearly.
+    */
+  def codebook(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(i => (0 until dim).map { j =>
+      ((i.toLong * dim + j) * 2654435761L % 1000003L).toDouble / 1000003.0 * 2 - 1
+    })
+
   /** IVF-style ANN: a KMeans coarse quantizer assigns every vector to
     * a centroid (narrow transform after a one-off fit); a query
     * searches only the `nProbe` centroids nearest the probe. At

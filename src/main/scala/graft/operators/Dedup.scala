@@ -233,4 +233,49 @@ object Dedup {
     df.select(id.as("doc_id")).join(packed, Seq("doc_id"), "left")
       .withColumn("sh", coalesce(col("sh"), lit(0L)))
   }
+
+  /** SimHash near-dup pairs via bit-band bucketing — the open-scale
+    * pair generator. Fingerprints are split into `bands` contiguous
+    * bit ranges; by pigeonhole any pair within `maxHamming` bit flips
+    * (maxHamming < bands) shares at least one untouched band, so
+    * bucketing on (band, band-bits) proposes every qualifying pair and
+    * the exact in-bucket Hamming filter discards false collisions —
+    * result-identical to the all-pairs join (the DuckDB oracle IS the
+    * brute-force form) without its O(n²) probe cost.
+    *
+    * Shape: one shuffle on (band, bucket) — same bucket-collect as
+    * lshCandidates, fingerprints ride along in the posting struct so no
+    * re-join — then distinct on the pair. Wide fingerprints (48+ bits)
+    * keep band values sparse, so bucket populations stay bounded as the
+    * corpus grows; 16-bit fingerprints make half-bands dense and were
+    * measured SLOWER than brute force at sf0.1, which is why the width
+    * and the banding must move together.
+    */
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must split evenly into $bands bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    val w = bits / bands
+    val sh = simhashPacked(df, text, id, bits)
+    val banded = sh.select(struct(col("doc_id"), col("sh")).as("dsh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * w).bitwiseAND(lit((1L << w) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("dsh")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(
+        transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+            struct(
+              least(a.getField("doc_id"), b.getField("doc_id")).as("a_id"),
+              greatest(a.getField("doc_id"), b.getField("doc_id")).as("b_id"),
+              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
+                .as("hamming"))))))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

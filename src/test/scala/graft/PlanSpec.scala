@@ -74,4 +74,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(600))
   }
+
+  test("q47: simhash pairs bucket on bit-bands — no all-pairs join in the plan") {
+    val p = simple("q47_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("q82/q84: pair generation equi-joins on the LSH bucket, not a cartesian") {
+    Seq("q82_embed_neardup_lsh", "q84_knn_join_lsh").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q83: timestamp range predicate pushes into the parquet scan") {
+    val pf = formatted("q83_time_slice").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pf.contains("ts"), pf)
+    assert(pf.contains("GreaterThanOrEqual") || pf.contains("IsNotNull"), pf)
+  }
 }

@@ -100,6 +100,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert((approx & exact).size >= 3, s"IVF recall collapsed: ${(approx & exact).size}/10")
   }
 
+  test("simhash bit-band bucketed pairs == brute-force pairs (banding invariance)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.simhashPairs(docs, $"text", $"doc_id",
+      bits = 48, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = Dedup.simhashPacked(docs, $"text", $"doc_id", 48)
+    val a = sh.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = sh.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    val brute = a.join(b, $"a_id" < $"b_id")
+      .withColumn("hamming", bit_count($"a_sh".bitwiseXOR($"b_sh")))
+      .filter($"hamming" <= 3)
+      .select($"a_id", $"b_id", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded\\brute=${banded -- brute}, brute\\banded=${brute -- banded}")
+    assert(brute.nonEmpty, "expected planted near-dups to pair at 48 bits")
+  }
+
   test("partition pruning: lake reads touch only the filtered partition") {
     val out = "/root/repo/target/lake/prune_test"
     Tables.events(spark, sf)
