@@ -45,6 +45,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     s.read.parquet(normalizedEventsDir(s, d))
 
+  /** The µs-normalized events directory — a plain parquet dir, so it
+    * can also feed a Structured Streaming FILE source (the
+    * streaming↔batch differential in StreamingSpec reads it with
+    * readStream + Trigger.AvailableNow).
+    */
+  private[graft] def eventsPath(s: SparkSession, d: String): String =
+    normalizedEventsDir(s, d)
+
   private val normalizedCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

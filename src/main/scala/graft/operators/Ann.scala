@@ -98,12 +98,40 @@ object Ann {
 
   /** LSH-bucketed ANN: restrict the scan to vectors in the probe's
     * bucket, then exact cosine top-k inside it.
+    *
+    * `multiProbeDepth` is bit-flip multi-probing: additionally search
+    * every bucket within Hamming distance ≤ depth of the probe's
+    * bucket (depth 0 = the single exact bucket). Each extra flip
+    * trades fan-out for recall — the curve is measured by
+    * AnnRecallSpec; at depth = |hyperplanes| all buckets are probed
+    * and the result equals bruteForceTopK exactly. The probe-side
+    * bucket variants are a tiny exploded broadcast; candidates still
+    * match at most one variant (bucket ids are distinct), so no
+    * dedup pass is needed.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      probe: DataFrame, hyperplanes: Seq[Seq[Double]], k: Int): DataFrame = {
+      probe: DataFrame, hyperplanes: Seq[Seq[Double]], k: Int,
+      multiProbeDepth: Int = 0): DataFrame = {
+    val n = hyperplanes.length
+    require(multiProbeDepth >= 0 && multiProbeDepth <= n,
+      s"multiProbeDepth must be in [0, $n], got $multiProbeDepth")
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), hyperplanes))
-    val probeB = probe.withColumn("probe_bucket",
-      lshBucket(col("probe_emb"), hyperplanes))
+    val pb = probe.withColumn("pb0", lshBucket(col("probe_emb"), hyperplanes))
+    val probeB =
+      if (multiProbeDepth == 0) pb.withColumn("probe_bucket", col("pb0"))
+      else {
+        val flipSets = (0 to multiProbeDepth)
+          .flatMap(sz => (0 until n).combinations(sz).map(_.toSet))
+        val variants = flipSets.map { s =>
+          concat((0 until n).map { i =>
+            if (s.contains(i))
+              when(substring(col("pb0"), i + 1, 1) === "1", lit("0"))
+                .otherwise(lit("1"))
+            else substring(col("pb0"), i + 1, 1)
+          }: _*)
+        }
+        pb.withColumn("probe_bucket", explode(array(variants: _*)))
+      }
     cosineTopK(
       bucketed.join(broadcast(probeB), col("bucket") === col("probe_bucket")),
       idCol, vecCol, k)

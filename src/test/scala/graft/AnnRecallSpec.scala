@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Recall measurement for the approximate similarity-search paths —
+  * an ANN engine without a recall number is an unquantified
+  * approximation. Ground truth is bruteForceTopK; recall@10 is
+  * measured over several probe vectors at sf0.01 (500 × 64-dim), for
+  * the multi-probe depth ladder and for IVF probe counts.
+  *
+  * The sf embeddings are only weakly clustered (top-10 cosines ≈ 0.3,
+  * i.e. neighbors are not angularly tight), which is the HARD case
+  * for sign-pattern LSH: single-bucket recall is low and multi-probe
+  * is what buys it back. The asserted bounds are the measured curve
+  * with headroom; the structural invariants (monotone in depth,
+  * exact equality at full depth) hold for any data.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.01"
+  private val hps = Ann.codebook(4, 64)
+  private val probeIds = Seq(0L, 1L, 2L, 3L, 4L, 100L, 250L)
+  private val k = 10
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("LSH multi-probe: recall@10 is monotone in flip depth, >=0.9 at depth 3, exact at full depth") {
+    val emb = Tables.embeddings(spark, sf001)
+    val recallsAtDepth = (0 to 4).map { depth =>
+      val rs = probeIds.map { pid =>
+        val probe = emb.filter($"vec_id" === pid).select($"embedding".as("probe_emb"))
+        val scan = emb.filter($"vec_id" =!= pid)
+        val exact = topIds(Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, k))
+        val approx = topIds(Ann.lshTopK(scan, "vec_id", "embedding", probe, hps, k,
+          multiProbeDepth = depth))
+        if (depth == 4) // full depth probes all 2^4 buckets → must equal brute force
+          assert(approx == exact, s"probe $pid: full-depth LSH != brute force")
+        (approx & exact).size.toDouble / k
+      }
+      rs.sum / rs.size
+    }
+    // fan-out trade-off, recorded: depth d probes Σ C(4,i) of 16 buckets
+    val fanout = (0 to 4).map(d => (0 to d).map(i =>
+      (0 until 4).combinations(i).size).sum)
+    info(s"mean recall@10 by flip depth: " +
+      recallsAtDepth.zipWithIndex.map { case (r, d) =>
+        f"d$d=${r}%.2f (${fanout(d)}/16 buckets)" }.mkString(", "))
+    recallsAtDepth.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"recall not monotone in probe depth: $recallsAtDepth")
+    }
+    assert(recallsAtDepth(3) >= 0.9,
+      s"depth-3 multi-probe mean recall@10 ${recallsAtDepth(3)} < 0.9")
+    assert(recallsAtDepth(0) < 1.0, "single-bucket recall unexpectedly perfect — " +
+      "the trade-off measurement is vacuous")
+  }
+
+  test("IVF: recall@10 grows with nProbe; full probing is exact") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
+    val scan = emb.filter($"vec_id" =!= 0)
+    val exact = topIds(Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, k))
+    val recalls = Seq(2, 4, 8).map { np =>
+      val ids = topIds(Ann.ivfTopK(scan, "vec_id", "embedding", probe,
+        k = k, nCentroids = 8, nProbe = np))
+      np -> (ids & exact).size.toDouble / k
+    }
+    info(s"IVF recall@10 by nProbe (8 centroids): " +
+      recalls.map { case (np, r) => f"p$np=$r%.2f" }.mkString(", "))
+    assert(recalls.last._2 == 1.0, s"nProbe=8/8 must be exact: ${recalls.last._2}")
+    assert(recalls.map(_._2) == recalls.map(_._2).sorted,
+      s"IVF recall not monotone in nProbe: $recalls")
+  }
+}

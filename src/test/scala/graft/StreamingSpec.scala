@@ -93,6 +93,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T2 differential: AvailableNow file-source stream == batch twin on identical data") {
+    // the SAME windowedFeatures DataFrame program, once under
+    // Structured Streaming over the µs-normalized events parquet (file
+    // source, Trigger.AvailableNow — drains everything then stops),
+    // once in batch over the same files; results must agree row-for-row
+    val dir = Tables.eventsPath(spark, sf)
+    val sch = spark.read.parquet(dir).schema
+    val cp = Files.createTempDirectory("graft_t2diff_cp_").toString
+    val stream = spark.readStream.schema(sch).parquet(dir)
+    val q = Streaming.windowedFeatures(stream, "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("t2diff")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    // string canon: a 1-event window has NULL kurtosis (0/0 variance),
+    // which Row.getDouble rejects — cast-to-string keeps NULL comparable
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String, String, Long)] =
+      df.select(col("window.start").cast("string"), col("event_type"),
+        round(col("rms"), 6).cast("string"), round(col("peak"), 6).cast("string"),
+        round(col("kurtosis"), 6).cast("string"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getLong(5))).toSet
+    val streamed = canon(spark.table("t2diff"))
+    val batch = canon(
+      Streaming.windowedFeatures(Tables.events(spark, sf), "ts", "event_type", "value"))
+    assert(streamed.nonEmpty, "stream produced no windows")
+    assert(streamed == batch,
+      s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
