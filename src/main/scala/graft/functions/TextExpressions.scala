@@ -138,4 +138,61 @@ object TextExpressions {
   /** md5-derived 60-bit hashes of word n-gram shingles (minhash base). */
   def md5_shingle_hashes(text: Column, n: Int): Column =
     GraftShim.column(Md5ShingleHashes(GraftShim.expression(text), n))
+
+  /** Whole-document packed SimHash in ONE pass: tokenize on ' '
+    * (empties kept), md5 each token to the 60-bit projection
+    * (bit-identical to Text.md5Long — first 15 hex chars big-endian),
+    * accumulate the per-bit ±1 votes in a local array, pack bits with
+    * positive votes. Value-identical to the explode + 48-column
+    * aggregate form (vote sums are order-independent integers) with
+    * NO shuffle at all — the fingerprint is a narrow projection, which
+    * is the shape you want at 100 TB (the only shuffle left in a
+    * simhash pair pipeline is the band bucketing).
+    */
+  case class SimhashPacked(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits <= 60,
+      s"simhash bits must be <= 60 (md5Long yields 60 usable bits), got $bits")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    override def nullSafeEval(v: Any): Any = {
+      val md5 = md5Local.get()
+      val text = v.asInstanceOf[UTF8String].toString
+      val votes = new Array[Int](bits)
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          val d = md5.digest(text.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v56 = 0L
+          var bb = 0
+          while (bb < 7) { v56 = (v56 << 8) | (d(bb) & 0xffL); bb += 1 }
+          val h = (v56 << 4) | ((d(7) & 0xf0L) >>> 4)
+          var b = 0
+          while (b < bits) {
+            if ((h & (1L << (b % 60))) != 0L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var sh = 0L
+      var b = 0
+      while (b < bits) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+      sh
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One-pass packed simhash fingerprint over whitespace tokens. */
+  def simhash_packed(text: Column, bits: Int): Column =
+    GraftShim.column(SimhashPacked(GraftShim.expression(text), bits))
 }

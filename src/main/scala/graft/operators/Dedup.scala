@@ -207,31 +207,25 @@ object Dedup {
     df.select(id.as("doc_id"),
       Text.simhashBits(Text.tokens(text), bits).as("simhash"))
 
-  /** SimHash packed into a joinable BIGINT, explode+aggregate form:
-    * one codegen'd md5 per token, per-bit vote sums with map-side
-    * combine, bits packed in a final projection. Same values as
-    * Text.simhash64 (vote sums are order-independent integers) at a
-    * fraction of the cost — the Column form interprets `bits` lambda
-    * folds per evaluation and gets inlined per consumer.
+  /** SimHash packed into a joinable BIGINT — a NARROW projection via
+    * the single-pass `TextExpressions.SimhashPacked` kernel (tokenize,
+    * one md5 per token, ±1 vote accumulation, bit pack — all inside
+    * one expression call per document). Value-identical to the
+    * explode + per-bit vote aggregate form (vote sums are
+    * order-independent integers) and to Text.simhash64, with NO
+    * shuffle and NO restore-join: a NULL text evaluates to NULL and
+    * coalesces to fingerprint 0, matching the oracle's
+    * CASE WHEN NULL > 0 ... ELSE 0 semantics. An earlier
+    * explode+aggregate form shuffled |tokens| rows and aggregated
+    * `bits` vote columns — measurably slower at 48 bits and
+    * pointlessly wide at 100 TB.
     */
   def simhashPacked(df: DataFrame, text: Column, id: Column,
       bits: Int): DataFrame = {
     require(bits <= 60, s"simhash bits must be <= 60 (md5Long yields 60 usable bits; bit ${bits - 1} would alias bit ${(bits - 1) % 60}), got $bits")
-    val toks = df.select(id.as("doc_id"), explode(Text.tokens(text)).as("t"))
-      .withColumn("h", Text.md5Long(col("t")))
-    val aggs = (0 until bits).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << (b % 60))) =!= 0L, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val votes = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val packed = votes.select(col("doc_id"),
-      (0 until bits).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh"))
-    // restore NULL-text docs; their fingerprint is 0 (all votes
-    // vacuously non-positive) — matching Text.simhash64 and the
-    // oracle's CASE WHEN NULL > 0 ... ELSE 0 semantics
-    df.select(id.as("doc_id")).join(packed, Seq("doc_id"), "left")
-      .withColumn("sh", coalesce(col("sh"), lit(0L)))
+    df.select(id.as("doc_id"),
+      coalesce(graft.functions.TextExpressions.simhash_packed(text, bits),
+        lit(0L)).as("sh"))
   }
 
   /** SimHash near-dup pairs via bit-band bucketing — the open-scale
