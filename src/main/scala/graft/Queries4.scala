@@ -87,10 +87,116 @@ object Queries4 {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** End-to-end curation funnel — the composition a 100 TB pretraining
+    * pipeline actually ships: raw corpus → Gopher quality rules (q64's
+    * predicate) → exact dedup (canonical = min doc_id per content
+    * md5) → benchmark decontamination (no 7-gram shared with the
+    * held-out split, q79's broadcast shape) → train-split selection.
+    * One row of monotone survivor counts; every stage reuses the
+    * already-oracled formulas, so the funnel proves the stages COMPOSE
+    * identically on both engines, not just run identically alone.
+    */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Text, TextExpressions}
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks)
+    val meanWlen = Text.meanTokenLen(toks)
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(nTok, lit(1)).cast("double")
+    val base = documents(s, d).select(col("doc_id"),
+      (nTok.between(50, 100000) && meanWlen.between(3.0, 10.0) &&
+        alphaFrac >= 0.8).as("q_keep"),
+      md5(col("text")).as("fp"),
+      pmod(Text.md5Long(col("text")), lit(100L)).as("b"))
+      .withColumn("canonical",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp"))))
+    val h = documents(s, d)
+      .select(col("doc_id"), pmod(Text.md5Long(col("text")), lit(100L)).as("b"),
+        explode(TextExpressions.md5_shingle_hashes(col("text"), 7)).as("h"))
+      .distinct()
+    val bench = h.filter(col("b") >= 90).select(col("h").as("bh")).distinct()
+    val contaminated = h.filter(col("b") < 90)
+      .join(broadcast(bench), col("h") === col("bh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    base.join(contaminated, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("q_keep"), 1)).as("n_quality"),
+        count(when(col("q_keep") && col("canonical"), 1)).as("n_dedup"),
+        count(when(col("q_keep") && col("canonical") && col("b") < 90 &&
+          col("contaminated").isNull, 1)).as("n_clean"),
+        count(when(col("q_keep") && col("canonical") && col("b") < 80 &&
+          col("contaminated").isNull, 1)).as("n_train"))
+  }
+
+  /** Token-weighted mixture reweighting (q80's X12 by TOKEN mass, the
+    * unit LLM training actually budgets): per-language token totals,
+    * an exact-integer keep threshold toward a uniform 1/5 token share,
+    * and the deterministic hash-mod subsample's realized doc/token
+    * counts. All counts are exact integers — no float boundary can
+    * disagree between engines.
+    */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = documents(s, d).select(col("lang"),
+      coalesce(size(Text.tokens(col("text"))), lit(0)).cast("long").as("nt"),
+      Text.md5Long(col("text")).as("hl"))
+    val per = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("lang_tokens"))
+    val tot = per.agg(sum(col("lang_tokens")).as("total_tokens"))
+    val thr = per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        when(col("lang_tokens") > 0,
+          least(lit(10000L), expr("(10000 * total_tokens) div (5 * lang_tokens)")))
+          .otherwise(lit(10000L)).as("keep_bp"))
+    val kept = docs.join(broadcast(thr.select(col("lang"), col("keep_bp"))), Seq("lang"))
+      .filter(pmod(col("hl"), lit(10000L)) < col("keep_bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept_docs"), sum(col("nt")).as("kept_tokens"))
+    thr.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("keep_bp"),
+        coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Embedding outlier screen: distance to the per-label centroid,
+    * flagged when beyond 1.5× the label's mean distance — the
+    * embedding-space quality pass that prunes mis-embedded vectors
+    * before similarity indexing. Centroids come from 64 narrow avg
+    * aggregates (rounded to 6 dp so both engines share the exact
+    * centroid), broadcast back; the distance is a per-row fold in the
+    * same element order as the oracle's list_sum.
+    */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val centAggs = (1 to 64).map(i =>
+      avg(element_at(col("embedding"), i).cast("double")).as(s"c$i"))
+    val cents = e.groupBy(col("label"))
+      .agg(centAggs.head, centAggs.tail: _*)
+      .select(col("label"),
+        array((1 to 64).map(i => round(col(s"c$i"), 6)): _*).as("centroid"))
+    val dist = e.join(broadcast(cents), Seq("label"))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), _ + _)))
+    val thr = dist.groupBy(col("label")).agg(avg(col("dist")).as("avg_dist"))
+    dist.join(broadcast(thr), Seq("label"))
+      .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+        (round(col("dist"), 4) > round(lit(1.5) * col("avg_dist"), 4)).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
-    "q84_knn_join_lsh" -> (q84 _)
+    "q84_knn_join_lsh" -> (q84 _),
+    "q85_curation_funnel" -> (q85 _),
+    "q86_token_mix" -> (q86 _),
+    "q87_embed_outliers" -> (q87 _)
   )
 }
 
@@ -122,6 +228,14 @@ object Oracle4 {
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)}))"
 
+  private def md5long(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB mirror of Text.shingles(text, 7) (clamped-slice form). */
+  private val shingles7 =
+    "list_transform(range(1, greatest(len(toks)-6, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+6], ' '))"
+
   val sql: Map[String, String] = Map(
     "q82_embed_neardup_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
@@ -152,6 +266,74 @@ object Oracle4 {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
          |FROM p)
          |SELECT q_id, rk, n_id, round(cos, 4) AS cosine
-         |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+         |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "q85_curation_funnel" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS fp, ${md5long("text")} % 100 AS b,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, fp, b, toks, len(toks) AS n_tok,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS af
+         |FROM t),
+         |f AS (SELECT doc_id, b,
+         |  (n_tok BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         |    AND af >= 0.8 AS q_keep,
+         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS canonical
+         |FROM m),
+         |g AS (SELECT doc_id, b, unnest($shingles7) AS sh FROM m),
+         |hh AS (SELECT DISTINCT doc_id, b, ${md5long("sh")} AS hv FROM g),
+         |bench AS (SELECT DISTINCT hv FROM hh WHERE b >= 90),
+         |cont AS (SELECT DISTINCT hh.doc_id FROM hh JOIN bench USING (hv)
+         |         WHERE hh.b < 90)
+         |SELECT count(*) AS n_raw,
+         |  count(*) FILTER (WHERE q_keep) AS n_quality,
+         |  count(*) FILTER (WHERE q_keep AND canonical) AS n_dedup,
+         |  count(*) FILTER (WHERE q_keep AND canonical AND b < 90
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)) AS n_clean,
+         |  count(*) FILTER (WHERE q_keep AND canonical AND b < 80
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)) AS n_train
+         |FROM f""".stripMargin,
+
+    "q86_token_mix" ->
+      s"""WITH d2 AS (SELECT lang,
+         |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS nt,
+         |    ${md5long("text")} AS hl FROM documents),
+         |per AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS lang_tokens FROM d2 GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM per),
+         |thr AS (SELECT lang, n_docs, lang_tokens,
+         |  CASE WHEN lang_tokens > 0
+         |    THEN CAST(least(10000, (10000 * total_tokens) // (5 * lang_tokens)) AS BIGINT)
+         |    ELSE CAST(10000 AS BIGINT) END AS keep_bp
+         |  FROM per, tot),
+         |kept AS (SELECT d2.lang, count(*) AS n_kept_docs,
+         |    CAST(sum(nt) AS BIGINT) AS kept_tokens
+         |  FROM d2 JOIN thr ON d2.lang = thr.lang
+         |  WHERE hl % 10000 < keep_bp GROUP BY d2.lang)
+         |SELECT thr.lang, n_docs, lang_tokens, keep_bp,
+         |  coalesce(n_kept_docs, 0) AS n_kept_docs,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM thr LEFT JOIN kept ON thr.lang = kept.lang
+         |ORDER BY thr.lang NULLS FIRST""".stripMargin,
+
+    "q87_embed_outliers" -> {
+      val centCols = (1 to 64).map(i =>
+        s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)").mkString(",\n    ")
+      s"""WITH cent AS (SELECT label, [
+         |    $centCols
+         |  ] AS centroid FROM embeddings GROUP BY label),
+         |d AS (SELECT vec_id, e.label,
+         |  sqrt(list_sum(list_transform(range(1, 65),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - centroid[i])
+         |       * (CAST(e.embedding[i] AS DOUBLE) - centroid[i])))) AS dist
+         |  FROM embeddings e JOIN cent ON e.label = cent.label),
+         |thr AS (SELECT label, avg(dist) AS avg_dist FROM d GROUP BY label)
+         |SELECT vec_id, d.label, round(dist, 4) AS dist,
+         |  round(dist, 4) > round(1.5 * avg_dist, 4) AS is_outlier
+         |FROM d JOIN thr ON d.label = thr.label
+         |ORDER BY vec_id""".stripMargin
+    }
   )
 }

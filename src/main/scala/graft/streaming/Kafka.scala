@@ -68,7 +68,27 @@ object Kafka {
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  def sinkOptions(bootstrap: String, topic: String): Map[String, String] = Map(
-    "kafka.bootstrap.servers" -> bootstrap,
-    "topic" -> topic)
+  /** Sink options. Default delivery is at-least-once (Spark's Kafka
+    * sink may reproduce a batch after a retry); `transactionalId`
+    * upgrades the producer to Kafka transactions + idempotence, which
+    * with `isolation.level=read_committed` consumers gives end-to-end
+    * exactly-once — the guarantee the reference CLAIMS (README.md:66,
+    * 124) but its commit-after-produce loop cannot deliver
+    * (README.md:265-273). The lake path (streaming.Pipeline) is
+    * exactly-once by construction (checkpoint + idempotent files,
+    * PipelineSpec); this option extends the story to Kafka-to-Kafka
+    * topologies. Broker-less container: wiring is config-only, covered
+    * by KafkaEnvelopeSpec's option assertions.
+    */
+  def sinkOptions(bootstrap: String, topic: String,
+      transactionalId: Option[String] = None): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic)
+    transactionalId.fold(base)(tid => base ++ Map(
+      "kafka.transactional.id" -> tid,
+      "kafka.enable.idempotence" -> "true",
+      // transactions must outlive the longest micro-batch retry
+      "kafka.transaction.timeout.ms" -> "900000"))
+  }
 }

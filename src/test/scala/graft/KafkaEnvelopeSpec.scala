@@ -54,4 +54,13 @@ class KafkaEnvelopeSpec extends SparkSpec {
     assert(src("maxOffsetsPerTrigger") == "100")
     assert(Kafka.sinkOptions("broker:9092", "cnc.processed")("topic") == "cnc.processed")
   }
+
+  test("transactional sink option upgrades delivery to exactly-once config") {
+    val plain = Kafka.sinkOptions("b:9092", "t")
+    assert(!plain.contains("kafka.transactional.id"), "default stays at-least-once")
+    val tx = Kafka.sinkOptions("b:9092", "t", transactionalId = Some("graft-tx-1"))
+    assert(tx("kafka.transactional.id") == "graft-tx-1")
+    assert(tx("kafka.enable.idempotence") == "true")
+    assert(tx("kafka.transaction.timeout.ms").toLong >= 600000L)
+  }
 }

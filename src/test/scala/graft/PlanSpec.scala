@@ -95,4 +95,13 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("ts"), pf)
     assert(pf.contains("GreaterThanOrEqual") || pf.contains("IsNotNull"), pf)
   }
+
+  test("q85/q87: funnel and outlier screens broadcast their small sides") {
+    // q85: the benchmark shingle set rides a broadcast semi-join (q79's
+    // shape); the corpus side is never shuffled by the contamination join
+    assert(simple("q85_curation_funnel").contains("BroadcastHashJoin"))
+    // q87: 10-row centroid and threshold dims broadcast into the
+    // narrow per-vector distance pass
+    assert(simple("q87_embed_outliers").contains("BroadcastHashJoin"))
+  }
 }
