@@ -190,13 +190,31 @@ object Queries4 {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus boilerplate analysis: the 20 most document-frequent
+    * 7-gram shingles (headers, licenses, navigation chrome — what
+    * corpus-level dedup targets next after per-doc near-dup). Distinct
+    * shingles per doc, partial+final count on the shingle, global
+    * top-k via TakeOrdered — at 100 TB the shuffle carries one row per
+    * distinct (shingle, partition) and the top-k never global-sorts.
+    */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 7))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
     "q84_knn_join_lsh" -> (q84 _),
     "q85_curation_funnel" -> (q85 _),
     "q86_token_mix" -> (q86 _),
-    "q87_embed_outliers" -> (q87 _)
+    "q87_embed_outliers" -> (q87 _),
+    "q88_boilerplate_ngrams" -> (q88 _)
   )
 }
 
@@ -334,6 +352,12 @@ object Oracle4 {
          |  round(dist, 4) > round(1.5 * avg_dist, 4) AS is_outlier
          |FROM d JOIN thr ON d.label = thr.label
          |ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    "q88_boilerplate_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles7)) AS shingle FROM t)
+         |SELECT shingle, count(*) AS df FROM sh
+         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin
   )
 }
