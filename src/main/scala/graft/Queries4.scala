@@ -198,10 +198,10 @@ object Queries4 {
     * distinct (shingle, partition) and the top-k never global-sorts.
     */
   def q88(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Text
+    import graft.functions.TextExpressions
     documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(Text.shingles(col("text"), 7))).as("shingle"))
+        explode(TextExpressions.shingle_strings(col("text"), 7)).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(20)

@@ -195,4 +195,52 @@ object TextExpressions {
   /** One-pass packed simhash fingerprint over whitespace tokens. */
   def simhash_packed(text: Column, bits: Int): Column =
     GraftShim.column(SimhashPacked(GraftShim.expression(text), bits))
+
+  /** Distinct word n-gram shingle STRINGS in one pass — set-identical
+    * to array_distinct(Text.shingles(text, n)) without materializing
+    * the full shingle array through interpreted lambdas (the string
+    * twin of ShingleHashes, for consumers that need the readable
+    * n-gram, e.g. corpus boilerplate reporting).
+    */
+  case class ShingleStrings(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      val toks = mutable.ArrayBuffer.empty[String]
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          toks += text.substring(start, i); start = i + 1
+        }
+        i += 1
+      }
+      val grams = math.max(toks.length - n + 1, 1)
+      val seen = new mutable.LinkedHashSet[UTF8String]
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      while (g < grams) {
+        sb.setLength(0)
+        var k = g
+        val end = math.min(g + n, toks.length)
+        while (k < end) {
+          if (k > g) sb.append(' ')
+          sb.append(toks(k)); k += 1
+        }
+        seen += UTF8String.fromString(sb.toString)
+        g += 1
+      }
+      new GenericArrayData(seen.toArray[Any])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Distinct n-gram shingle strings (single-pass kernel). */
+  def shingle_strings(text: Column, n: Int): Column =
+    GraftShim.column(ShingleStrings(GraftShim.expression(text), n))
 }

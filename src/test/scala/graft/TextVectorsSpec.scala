@@ -157,4 +157,17 @@ class TextVectorsSpec extends SparkSpec {
     // tokens: abc, 12, d, -, e, !
     assert(df.select(Text.regexTokenCount($"t")).head().getInt(0) == 6)
   }
+
+  test("ShingleStrings kernel == array_distinct(shingles) on real docs") {
+    import graft.functions.TextExpressions
+    val docs = Tables.documents(spark, sf).limit(100)
+    val both = docs.select(
+      TextExpressions.shingle_strings($"text", 7).as("fast"),
+      array_distinct(Text.shingles($"text", 7)).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
+    }
+  }
 }
