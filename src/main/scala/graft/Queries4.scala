@@ -207,6 +207,45 @@ object Queries4 {
       .limit(20)
   }
 
+  /** Sessionized conversion funnel (q28's gap-sessionization composed
+    * with conditional aggregation): one row of session counts —
+    * sessions, sessions with a click, with a purchase, and CONVERTED
+    * sessions (a purchase at-or-after the first click in the same
+    * session). Click/purchase ordering compares integer µs on both
+    * engines, so the ns→µs truncation cannot flip a boundary.
+    */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("gap",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .as("first_click"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("last_purchase"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("first_click")).as("n_with_click"),
+      count(col("last_purchase")).as("n_with_purchase"),
+      count(when(col("last_purchase") >= col("first_click"), 1)).as("n_converted"))
+  }
+
+  /** Asymmetric n-gram containment pairs (X1d's quote/inclusion twin):
+    * a short doc wholly quoted inside a long one scores ~1.0 on its
+    * side while Jaccard stays low — the case near-dup passes miss.
+    * Inverted-index shape identical to q37.
+    */
+  def q90(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.ngramContainmentPairs(
+      documents(s, d), col("text"), col("doc_id"), n = 3, minContainment = 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
@@ -214,7 +253,9 @@ object Queries4 {
     "q85_curation_funnel" -> (q85 _),
     "q86_token_mix" -> (q86 _),
     "q87_embed_outliers" -> (q87 _),
-    "q88_boilerplate_ngrams" -> (q88 _)
+    "q88_boilerplate_ngrams" -> (q88 _),
+    "q89_session_funnel" -> (q89 _),
+    "q90_containment_pairs" -> (q90 _)
   )
 }
 
@@ -253,6 +294,11 @@ object Oracle4 {
   private val shingles7 =
     "list_transform(range(1, greatest(len(toks)-6, 1) + 1), " +
       "i -> array_to_string(toks[i:i+6], ' '))"
+
+  /** DuckDB mirror of Text.shingles(text, 3). */
+  private val shingles3 =
+    "list_transform(range(1, greatest(len(toks)-2, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
     "q82_embed_neardup_lsh" ->
@@ -358,6 +404,45 @@ object Oracle4 {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct($shingles7)) AS shingle FROM t)
          |SELECT shingle, count(*) AS df FROM sh
-         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin
+         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q89_session_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS first_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS last_purchase
+        |  FROM y GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |  count(first_click) AS n_with_click,
+        |  count(last_purchase) AS n_with_purchase,
+        |  count(*) FILTER (WHERE last_purchase >= first_click) AS n_converted
+        |FROM s""".stripMargin,
+
+    "q90_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_int
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, n_int AS inter,
+         |  round(CAST(n_int AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 4) AS cont_a,
+         |  round(CAST(n_int AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 4) AS cont_b
+         |FROM inter
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE greatest(CAST(n_int AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+         |               CAST(n_int AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin
   )
 }

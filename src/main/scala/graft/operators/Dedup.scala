@@ -128,6 +128,42 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |A∩B| / |A| — the
+    * quote/inclusion detector (a short doc fully contained in a long
+    * one scores 1.0 on its side while Jaccard stays low, so the
+    * near-dup pass misses it). Same inverted-index shape and cost
+    * envelope as ngramJaccardPairs: one shuffle on the 8-byte shingle
+    * hash, pairs inside postings, set sizes carried along, both
+    * directions emitted per unordered pair. Filter keeps pairs where
+    * EITHER direction reaches `minContainment` (unrounded compare —
+    * engines agree on boundaries).
+    */
+  def ngramContainmentPairs(df: DataFrame, text: Column, id: Column,
+      n: Int, minContainment: Double): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextExpressions.shingle_hashes(text, n).as("shs"))
+    val sh = base.select(
+      struct(col("doc_id"), size(col("shs")).as("n_sh")).as("dn"),
+      explode(col("shs")).as("h"))
+    val buckets = sh.groupBy(col("h")).agg(collect_list(col("dn")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = buckets.select(explode(flatten(
+      transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          when(a.getField("doc_id") < b.getField("doc_id"),
+            struct(a.as("a"), b.as("b")))
+            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p"))
+    pairs
+      .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
+      .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
+      .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("ca"), col("cb")) >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
+  }
+
   /** Connected components over a candidate-pair edge list — the
     * clustering step that turns near-dup PAIRS into dedup GROUPS
     * (cluster id = min doc id in the component; one kept doc per
