@@ -246,6 +246,26 @@ object Queries4 {
       documents(s, d), col("text"), col("doc_id"), n = 3, minContainment = 0.3)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** J6's JOIN form surfaced in the harness (q71 covers the aggregate
+    * form): the fact side salted over 8 replicas of a non-broadcast
+    * dim, then re-aggregated — the oracle is the PLAIN join+aggregate,
+    * proving the salting semantically invisible exactly as q71 does
+    * for hot-key aggregation. Weighted revenue uses per-row decimal
+    * casts so the two-phase combine stays exact.
+    */
+  def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("error", 0.0), ("signup", 2.0)).toDF("event_type", "weight")
+    graft.operators.Skew.saltedJoin(events(s, d), dim, "event_type",
+      col("event_id"), salts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Signal.exactSum(col("value") * col("weight")).cast("double"), 4)
+          .as("weighted"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
@@ -255,7 +275,8 @@ object Queries4 {
     "q87_embed_outliers" -> (q87 _),
     "q88_boilerplate_ngrams" -> (q88 _),
     "q89_session_funnel" -> (q89 _),
-    "q90_containment_pairs" -> (q90 _)
+    "q90_containment_pairs" -> (q90 _),
+    "q91_salted_join" -> (q91 _)
   )
 }
 
@@ -426,6 +447,18 @@ object Oracle4 {
         |  count(last_purchase) AS n_with_purchase,
         |  count(*) FILTER (WHERE last_purchase >= first_click) AS n_converted
         |FROM s""".stripMargin,
+
+    // the salted two-phase join must equal the PLAIN join+aggregate —
+    // that equality is exactly what the oracle checks (q71's pattern)
+    "q91_salted_join" ->
+      """WITH w(event_type, weight) AS (VALUES
+        |  ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+        |  ('error', 0.0), ('signup', 2.0))
+        |SELECT e.event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(e.value * CAST(w.weight AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS weighted
+        |FROM events e JOIN w ON e.event_type = w.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q90_containment_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
