@@ -33,8 +33,19 @@ object LshStages {
   private val pairCache = TrieMap.empty[String, DataFrame]
   private val clusterCache = TrieMap.empty[String, DataFrame]
 
-  private def key(s: SparkSession, d: String): String =
-    s.sparkContext.applicationId + "|" + d
+  private def key(s: SparkSession, d: String): String = {
+    val appId = s.sparkContext.applicationId
+    // evict entries of dead sessions so a JVM that restarts its
+    // SparkContext (test reruns, notebooks) does not pin persisted
+    // DataFrames of applications that no longer exist
+    Seq(pairCache, clusterCache).foreach { c =>
+      c.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
+        c.remove(k).foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      }
+    }
+    appId + "|" + d
+  }
 
   /** MinHash-LSH candidate pairs (a_id, b_id) over `documents`,
     * materialized once per run.

@@ -171,9 +171,15 @@ object Queries4 {
     * same element order as the oracle's list_sum.
     */
   def q87(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val e = embeddings(s, d)
+    // decimal-exact means (sum of per-row DECIMAL casts / count): a
+    // plain double avg() sums partials in partition order, which
+    // differs between engines — the house exactSum convention applied
+    // to the centroid and threshold so no rounding boundary can flip
     val centAggs = (1 to 64).map(i =>
-      avg(element_at(col("embedding"), i).cast("double")).as(s"c$i"))
+      (sum(element_at(col("embedding"), i).cast("double")
+        .cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as(s"c$i"))
     val cents = e.groupBy(col("label"))
       .agg(centAggs.head, centAggs.tail: _*)
       .select(col("label"),
@@ -183,7 +189,9 @@ object Queries4 {
         zip_with(col("embedding").cast("array<double>"), col("centroid"),
           (x, c) => (x - c) * (x - c)),
         lit(0.0), _ + _)))
-    val thr = dist.groupBy(col("label")).agg(avg(col("dist")).as("avg_dist"))
+    val thr = dist.groupBy(col("label"))
+      .agg((sum(col("dist").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1))).as("avg_dist"))
     dist.join(broadcast(thr), Seq("label"))
       .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
         (round(col("dist"), 4) > round(lit(1.5) * col("avg_dist"), 4)).as("is_outlier"))
@@ -215,12 +223,18 @@ object Queries4 {
     * engines, so the ns→µs truncation cannot flip a boundary.
     */
   def q89(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ALL time arithmetic on integer µs (unix_micros ↔ epoch_ns // 1000):
+    // a double-epoch gap would compare ns-precision (oracle) against
+    // µs-truncated (Spark) doubles at the 1800 s boundary, and ns-order
+    // ties inside one µs would sort differently — integer µs on both
+    // sides makes gap, ordering, and the click/purchase comparison exact
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
     val sess = events(s, d)
       .withColumn("gap",
-        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser))
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
-        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
@@ -405,7 +419,8 @@ object Oracle4 {
 
     "q87_embed_outliers" -> {
       val centCols = (1 to 64).map(i =>
-        s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)").mkString(",\n    ")
+        s"round(CAST(sum(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)")
+        .mkString(",\n    ")
       s"""WITH cent AS (SELECT label, [
          |    $centCols
          |  ] AS centroid FROM embeddings GROUP BY label),
@@ -414,7 +429,9 @@ object Oracle4 {
          |    i -> (CAST(e.embedding[i] AS DOUBLE) - centroid[i])
          |       * (CAST(e.embedding[i] AS DOUBLE) - centroid[i])))) AS dist
          |  FROM embeddings e JOIN cent ON e.label = cent.label),
-         |thr AS (SELECT label, avg(dist) AS avg_dist FROM d GROUP BY label)
+         |thr AS (SELECT label,
+         |  CAST(sum(CAST(dist AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_dist
+         |FROM d GROUP BY label)
          |SELECT vec_id, d.label, round(dist, 4) AS dist,
          |  round(dist, 4) > round(1.5 * avg_dist, 4) AS is_outlier
          |FROM d JOIN thr ON d.label = thr.label
@@ -429,18 +446,19 @@ object Oracle4 {
 
     "q89_session_funnel" ->
       """WITH x AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |    epoch_ns(ts) // 1000
+        |      - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS gap
         |  FROM events),
         |y AS (
-        |  SELECT user_id, event_type, ts,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  SELECT user_id, event_type, us,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM x),
         |s AS (
         |  SELECT user_id, session_id,
-        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS first_click,
-        |    max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS last_purchase
+        |    min(CASE WHEN event_type = 'click' THEN us END) AS first_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN us END) AS last_purchase
         |  FROM y GROUP BY user_id, session_id)
         |SELECT count(*) AS n_sessions,
         |  count(first_click) AS n_with_click,

@@ -56,13 +56,47 @@ object Tables {
   private val normalizedCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Sweep orphaned pid-scoped tmp dirs left by crashed writers (same
+    * owner-dead / 24h-age policy as the q17 lake janitor).
+    */
+  private def sweepOrphans(root: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    def ownerDead(name: String): Boolean =
+      name.split("_tmp_p").lastOption.flatMap(_.toLongOption).exists(p =>
+        !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("_tmp_p") &&
+        !f.getName.endsWith(s"_tmp_p${ProcessHandle.current().pid()}") &&
+        (ownerDead(f.getName) || f.lastModified() < cutoff))
+      .foreach(rmTree)
+  }
+
+  // synchronized: the rewrite mutates session confs for its duration;
+  // two threads normalizing concurrently could restore each other's
+  // flags mid-write (single-threaded in the harness, cheap to be safe)
   private def normalizedEventsDir(s: SparkSession, d: String): String =
-    normalizedCache.getOrElseUpdate(d, {
-      val key = d.replaceAll("[^A-Za-z0-9]", "_")
-      val dst = new java.io.File(s"/root/repo/target/events_us/$key")
+    normalizedCache.getOrElseUpdate(d, synchronized {
+      // sanitized name + path hash: two distinct dirs that sanitize to
+      // the same string must not collide on one normalized copy
+      val key = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Integer.toHexString(d.hashCode)
+      val root = new java.io.File("/root/repo/target/events_us")
+      sweepOrphans(root)
+      val dst = new java.io.File(root, key)
+      // staleness contract: the driver's testdata is immutable; a
+      // regenerated events.parquet (newer than the normalized copy)
+      // triggers a rewrite rather than serving stale rows
+      val src = new java.io.File(s"$d/events.parquet")
+      if (dst.isDirectory && src.exists() &&
+        src.lastModified() > dst.lastModified()) rmTree(dst)
       if (!dst.isDirectory) {
-        val tmp = new java.io.File(
-          s"/root/repo/target/events_us/${key}_tmp_p${ProcessHandle.current().pid()}")
+        val tmp = new java.io.File(root,
+          s"${key}_tmp_p${ProcessHandle.current().pid()}")
         val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         val prevTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -79,12 +113,12 @@ object Tables {
           prevTsType.fold(s.conf.unset("spark.sql.parquet.outputTimestampType"))(
             s.conf.set("spark.sql.parquet.outputTimestampType", _))
         }
-        if (!tmp.renameTo(dst)) { // lost the publish race: winner's copy is live
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
-          }
-          rm(tmp)
+        if (!tmp.renameTo(dst)) {
+          rmTree(tmp)
+          // rename fails either because a concurrent writer published
+          // first (fine) or for a real IO reason — distinguish them
+          require(dst.isDirectory,
+            s"failed to publish normalized events to $dst and no concurrent winner exists")
         }
       }
       dst.getPath

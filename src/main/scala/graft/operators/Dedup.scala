@@ -260,13 +260,17 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // node universe from the RAW pairs: a node whose only edge is a
+    // self-pair must still be returned (as its own singleton cluster),
+    // exactly as connectedComponents does — self-loops are dropped
+    // from the EDGE set only
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node")))
+      .distinct().localCheckpoint()
     var edges = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    val nodes = edges.select(col("u").as("node"))
-      .unionByName(edges.select(col("v").as("node")))
-      .distinct().localCheckpoint()
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val w = Window.partitionBy(col("u"))

@@ -68,27 +68,29 @@ object Kafka {
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  /** Sink options. Default delivery is at-least-once (Spark's Kafka
-    * sink may reproduce a batch after a retry); `transactionalId`
-    * upgrades the producer to Kafka transactions + idempotence, which
-    * with `isolation.level=read_committed` consumers gives end-to-end
-    * exactly-once — the guarantee the reference CLAIMS (README.md:66,
-    * 124) but its commit-after-produce loop cannot deliver
-    * (README.md:265-273). The lake path (streaming.Pipeline) is
-    * exactly-once by construction (checkpoint + idempotent files,
-    * PipelineSpec); this option extends the story to Kafka-to-Kafka
-    * topologies. Broker-less container: wiring is config-only, covered
-    * by KafkaEnvelopeSpec's option assertions.
+  /** Sink options. Spark's Kafka sink is AT-LEAST-ONCE by design — it
+    * never drives the producer transaction API (no initTransactions /
+    * commitTransaction), so passing `kafka.transactional.id` would
+    * break the first send, not upgrade it; true end-to-end
+    * exactly-once over Kafka needs a foreachBatch-managed
+    * transactional producer, out of scope without a broker. What CAN
+    * be hardened declaratively: `idempotent = true` enables producer
+    * idempotence + acks=all, which removes broker-side duplicates from
+    * network retries (the common duplicate source) while staying
+    * inside the sink's delivery model. The reference CLAIMS
+    * exactly-once (README.md:66,124) but its commit-after-produce loop
+    * is also at-least-once (README.md:265-273); this library's lake
+    * path (streaming.Pipeline) is the genuinely exactly-once sink
+    * (checkpoint + idempotent files, PipelineSpec).
     */
   def sinkOptions(bootstrap: String, topic: String,
-      transactionalId: Option[String] = None): Map[String, String] = {
+      idempotent: Boolean = false): Map[String, String] = {
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "topic" -> topic)
-    transactionalId.fold(base)(tid => base ++ Map(
-      "kafka.transactional.id" -> tid,
+    if (!idempotent) base
+    else base ++ Map(
       "kafka.enable.idempotence" -> "true",
-      // transactions must outlive the longest micro-batch retry
-      "kafka.transaction.timeout.ms" -> "900000"))
+      "kafka.acks" -> "all")
   }
 }

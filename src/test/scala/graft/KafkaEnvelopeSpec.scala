@@ -55,12 +55,14 @@ class KafkaEnvelopeSpec extends SparkSpec {
     assert(Kafka.sinkOptions("broker:9092", "cnc.processed")("topic") == "cnc.processed")
   }
 
-  test("transactional sink option upgrades delivery to exactly-once config") {
+  test("idempotent sink option hardens delivery without breaking the sink model") {
     val plain = Kafka.sinkOptions("b:9092", "t")
-    assert(!plain.contains("kafka.transactional.id"), "default stays at-least-once")
-    val tx = Kafka.sinkOptions("b:9092", "t", transactionalId = Some("graft-tx-1"))
-    assert(tx("kafka.transactional.id") == "graft-tx-1")
-    assert(tx("kafka.enable.idempotence") == "true")
-    assert(tx("kafka.transaction.timeout.ms").toLong >= 600000L)
+    assert(!plain.contains("kafka.enable.idempotence"), "default is plain at-least-once")
+    val idem = Kafka.sinkOptions("b:9092", "t", idempotent = true)
+    assert(idem("kafka.enable.idempotence") == "true")
+    assert(idem("kafka.acks") == "all")
+    // Spark's sink never drives the transaction API — a transactional.id
+    // would break the first send, so it must never be emitted
+    assert(!idem.contains("kafka.transactional.id"))
   }
 }

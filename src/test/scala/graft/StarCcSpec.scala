@@ -55,4 +55,12 @@ class StarCcSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponentsStar(empty, "a", "b").count() == 0)
   }
+
+  test("star CC keeps self-loop-only nodes as singleton clusters (contract parity)") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val byStar = labels(Dedup.connectedComponentsStar(pairs, "a", "b"))
+    val byLabel = labels(Dedup.connectedComponents(pairs, "a", "b"))
+    assert(byStar == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(byStar == byLabel)
+  }
 }
