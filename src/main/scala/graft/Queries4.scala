@@ -280,7 +280,29 @@ object Queries4 {
       .orderBy(col("event_type"))
   }
 
+  /** Quality-percentile filtering: drop the bottom decile of quality
+    * WITHIN each language (an absolute quality cutoff would silently
+    * gut low-resource languages — per-group percentiles are how real
+    * curation balances quality against coverage). The exact
+    * interpolated percentile (q41's parity-proven kernel) over the
+    * unrounded q33 quality score; the keep decision compares UNROUNDED
+    * doubles, identical on both engines. The 5-row threshold dim
+    * broadcasts.
+    */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      Text.qualityScore(col("text")).as("q"))
+    val thr = docs.groupBy(col("lang"))
+      .agg(percentile(col("q"), lit(0.10)).as("p10"))
+    docs.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), round(col("q"), 4).as("quality"),
+        (col("q") >= col("p10")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_quality_decile" -> (q92 _),
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
     "q84_knn_join_lsh" -> (q84 _),
@@ -336,6 +358,23 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q92_quality_decile" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |qv AS (SELECT doc_id, lang,
+         |  (least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         |   + least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |       / CAST(greatest(len(toks), 1) AS DOUBLE) / 5.0, 1.0)
+         |   + least(CAST(len(list_filter(toks, x -> x IN
+         |       (${OracleExt.allStopwordsIn}))) AS DOUBLE)
+         |       / CAST(greatest(len(toks), 1) AS DOUBLE) * 5.0, 1.0)) / 3.0 AS q
+         |  FROM t),
+         |thr AS (SELECT lang, quantile_cont(q, 0.10) AS p10
+         |  FROM qv GROUP BY lang)
+         |SELECT doc_id, qv.lang, round(q, 4) AS quality, q >= p10 AS keep
+         |FROM qv JOIN thr ON qv.lang = thr.lang
+         |ORDER BY doc_id""".stripMargin,
+
     "q82_embed_neardup_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |  FROM embeddings)

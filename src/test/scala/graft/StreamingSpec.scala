@@ -126,6 +126,32 @@ class StreamingSpec extends SparkSpec {
       s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
   }
 
+  test("T5 differential: AvailableNow session windows == batch session windows") {
+    // the SAME sessionCounts program (session_window is legal in both
+    // execution modes) over the same parquet files — stream vs batch
+    val dir = Tables.eventsPath(spark, sf)
+    val sch = spark.read.parquet(dir).schema
+    val cp = Files.createTempDirectory("graft_t5diff_cp_").toString
+    val stream = spark.readStream.schema(sch).parquet(dir)
+    val q = Streaming.sessionCounts(stream, "ts", "user_id")
+      .writeStream.format("memory").queryName("t5diff")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.select(col("session_window.start").cast("string"),
+        col("user_id"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = canon(spark.table("t5diff"))
+    val batch = canon(
+      Streaming.sessionCounts(Tables.events(spark, sf), "ts", "user_id"))
+    assert(streamed.nonEmpty, "stream produced no sessions")
+    assert(streamed == batch,
+      s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
