@@ -301,7 +301,31 @@ object Queries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental ingest dedup: the deterministic content-hash split
+    * (q78's family) stands in for existing-corpus (b < 50) vs
+    * today's-batch (b ≥ 50); the batch is LSH-probed against the
+    * corpus (Dedup.lshLookup — cost tracks the batch, not the corpus)
+    * and candidates are verified with threshold Levenshtein, q81's
+    * recall→precision composition in its incremental form.
+    */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val docs = documents(s, d)
+    val side = pmod(Text.md5Long(col("text")), lit(100L))
+    val cand = graft.operators.Dedup.lshLookup(
+      docs.filter(side < 50), docs.filter(side >= 50),
+      col("text"), col("doc_id"), n = 3, bands = 4, rowsPerBand = 2)
+    cand
+      .join(docs.select(col("doc_id").as("in_id"), col("text").as("in_text")), Seq("in_id"))
+      .join(docs.select(col("doc_id").as("ex_id"), col("text").as("ex_text")), Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"),
+        levenshtein(col("in_text"), col("ex_text"), 30).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy(col("in_id"), col("ex_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_incremental_dedup" -> (q93 _),
     "q92_quality_decile" -> (q92 _),
     "q82_embed_neardup_lsh" -> (q82 _),
     "q83_time_slice" -> (q83 _),
@@ -358,6 +382,25 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    // same generated banding CTEs as q46/q62/q81 (OracleExt.lshBandCtes
+    // — single source, no formula drift), side-filtered by the q78
+    // content-hash split
+    "q93_incremental_dedup" ->
+      s"""WITH ${OracleExt.lshBandCtes},
+         |sd AS (SELECT doc_id, ${md5long("text")} % 100 AS b FROM documents),
+         |inb AS (SELECT bands.doc_id, band, bucket FROM bands
+         |        JOIN sd ON bands.doc_id = sd.doc_id WHERE sd.b >= 50),
+         |exb AS (SELECT bands.doc_id, band, bucket FROM bands
+         |        JOIN sd ON bands.doc_id = sd.doc_id WHERE sd.b < 50),
+         |cp AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+         |  FROM inb i JOIN exb e ON i.band = e.band AND i.bucket = e.bucket),
+         |v AS (SELECT in_id, ex_id, levenshtein(di.text, de.text) AS dist
+         |  FROM cp
+         |  JOIN documents di ON di.doc_id = cp.in_id
+         |  JOIN documents de ON de.doc_id = cp.ex_id)
+         |SELECT in_id, ex_id, dist FROM v
+         |WHERE dist <= 30 ORDER BY in_id, ex_id""".stripMargin,
+
     "q92_quality_decile" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
          |  FROM documents),

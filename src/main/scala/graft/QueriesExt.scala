@@ -359,11 +359,12 @@ object OracleExt {
     s"((($h & ${(1L << 30) - 1}) * ${Text.minhashA(i)} + " +
       s"($h >> 30) * ${Text.minhashB(i)} + ${Text.minhashC(i)}) % ${1L << 60})"
 
-  /** The q46 minhash-LSH banding candidate-pair pipeline as a reusable
-    * CTE chain ending in `pairs(a_id, b_id)` — shared by the q46
-    * oracle and the q62 connected-components oracle (Oracle2).
+  /** The minhash-LSH banding CTE prefix ending in
+    * `bands(doc_id, band, bucket)` — the single source of the banding
+    * formula, shared by the pair form below and the incremental-lookup
+    * oracle (Oracle4 q93) so the two cannot drift.
     */
-  private[graft] val lshPairCtes: String = {
+  private[graft] val lshBandCtes: String = {
     val sigs = (0 until 8).map(i =>
       s"list_min(list_transform(hl, h -> ${mixSql("h", i)})) AS s$i")
       .mkString(",\n  ")
@@ -379,13 +380,20 @@ object OracleExt {
        |FROM hs),
        |bands AS (
        |  $bandRows
-       |),
+       |)""".stripMargin
+  }
+
+  /** The q46 minhash-LSH banding candidate-pair pipeline as a reusable
+    * CTE chain ending in `pairs(a_id, b_id)` — shared by the q46
+    * oracle and the q62 connected-components oracle (Oracle2).
+    */
+  private[graft] val lshPairCtes: String =
+    s"""$lshBandCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |)""".stripMargin
-  }
 
   val sql: Map[String, String] = Map(
     "q32_langid" -> {

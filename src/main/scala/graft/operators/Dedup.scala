@@ -84,6 +84,31 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH LOOKUP: candidate pairs between an INCOMING batch and an
+    * EXISTING corpus — the incremental-ingest dedup shape (dedup each
+    * day's crawl against the accumulated corpus without re-pairing the
+    * corpus against itself). Both sides are banded with the SAME
+    * signature pipeline as lshCandidates; the join is an equi-join on
+    * (band, bucket). At 100 TB the existing side's banded table is
+    * materialized once and bucketed/partitioned by (band, bucket) on
+    * disk, so a day's ingest probes only the buckets it lands in —
+    * cost tracks the BATCH, not the corpus.
+    */
+  def lshLookup(existing: DataFrame, incoming: DataFrame, text: Column,
+      id: Column, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    def banded(df: DataFrame, outId: String): DataFrame =
+      minhashSignature(df, text, id, n, bands * rowsPerBand)
+        .filter(col("s0").isNotNull)
+        .select(col("doc_id").as(outId),
+          posexplode(array((0 until bands).map { b =>
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              col(s"s${b * rowsPerBand + r}")): _*)
+          }: _*)).as(Seq("band", "bucket")))
+    banded(incoming, "in_id").join(banded(existing, "ex_id"), Seq("band", "bucket"))
+      .select(col("in_id"), col("ex_id"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, filtered at `minJaccard`.
     *
