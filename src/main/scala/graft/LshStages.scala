@@ -38,7 +38,7 @@ object LshStages {
     // evict entries of dead sessions so a JVM that restarts its
     // SparkContext (test reruns, notebooks) does not pin persisted
     // DataFrames of applications that no longer exist
-    Seq(pairCache, clusterCache).foreach { c =>
+    Seq(pairCache, clusterCache, ngramCache).foreach { c =>
       c.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
         c.remove(k).foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -63,5 +63,17 @@ object LshStages {
     clusterCache.getOrElseUpdate(key(s, d),
       Dedup.connectedComponents(candidatePairs(s, d), "a_id", "b_id")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val ngramCache = TrieMap.empty[String, DataFrame]
+
+  /** Trigram inverted-index pair statistics (a_id, b_id, inter, na,
+    * nb) over `documents`, materialized once per run — the common
+    * prefix of the Jaccard (q37) and containment (q90) pair queries.
+    */
+  def ngramStats(s: SparkSession, d: String): DataFrame =
+    ngramCache.getOrElseUpdate(key(s, d),
+      Dedup.ngramPairStats(Tables.documents(s, d), col("text"), col("doc_id"),
+        n = ShingleN)
         .persist(StorageLevel.MEMORY_AND_DISK))
 }

@@ -256,8 +256,7 @@ object Queries4 {
     * Inverted-index shape identical to q37.
     */
   def q90(s: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.ngramContainmentPairs(
-      documents(s, d), col("text"), col("doc_id"), n = 3, minContainment = 0.3)
+    graft.operators.Dedup.containmentFrom(LshStages.ngramStats(s, d), 0.3)
       .orderBy(col("a_id"), col("b_id"))
 
   /** J6's JOIN form surfaced in the harness (q71 covers the aggregate

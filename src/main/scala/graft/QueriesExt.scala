@@ -54,9 +54,11 @@ object QueriesExt {
     Dedup.simhash(documents(s, d), col("text"), col("doc_id"), 16)
       .orderBy(col("doc_id"))
 
-  /** n-gram Jaccard near-dup pairs via inverted shingle index. */
+  /** n-gram Jaccard near-dup pairs via inverted shingle index (pair
+    * stats materialized once per run, shared with q90's containment).
+    */
   def q37(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"), 3, 0.12)
+    Dedup.jaccardFrom(LshStages.ngramStats(s, d), 0.12)
       .orderBy(col("a_id"), col("b_id"))
 
   /** Embedding-cosine near-dup pairs, blocked on label (the blocking

@@ -124,8 +124,13 @@ object Dedup {
     * signal) bounds the quadratic term at 100 TB; pass maxDf>0 to
     * enable (the exact oracle-checked queries keep it off).
     */
-  def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
-      n: Int, minJaccard: Double, maxDf: Int = 0): DataFrame = {
+  /** The shared inverted-index pair statistics (a_id, b_id, inter,
+    * na, nb) behind BOTH similarity measures — computed once, derived
+    * into Jaccard or containment by the cheap projections below (and
+    * cached across the two by LshStages.ngramStats in the harness).
+    */
+  private[graft] def ngramPairStats(df: DataFrame, text: Column, id: Column,
+      n: Int, maxDf: Int = 0): DataFrame = {
     val base = df.select(id.as("doc_id"),
       graft.functions.TextExpressions.shingle_hashes(text, n).as("shs"))
     val sh = base.select(
@@ -146,12 +151,28 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
+  }
+
+  private[graft] def jaccardFrom(stats: DataFrame, minJaccard: Double): DataFrame =
+    stats
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+
+  private[graft] def containmentFrom(stats: DataFrame,
+      minContainment: Double): DataFrame =
+    stats
+      .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
+      .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("ca"), col("cb")) >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
+
+  def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
+      n: Int, minJaccard: Double, maxDf: Int = 0): DataFrame =
+    jaccardFrom(ngramPairStats(df, text, id, n, maxDf), minJaccard)
 
   /** Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |A∩B| / |A| — the
     * quote/inclusion detector (a short doc fully contained in a long
@@ -164,30 +185,8 @@ object Dedup {
     * engines agree on boundaries).
     */
   def ngramContainmentPairs(df: DataFrame, text: Column, id: Column,
-      n: Int, minContainment: Double): DataFrame = {
-    val base = df.select(id.as("doc_id"),
-      graft.functions.TextExpressions.shingle_hashes(text, n).as("shs"))
-    val sh = base.select(
-      struct(col("doc_id"), size(col("shs")).as("n_sh")).as("dn"),
-      explode(col("shs")).as("h"))
-    val buckets = sh.groupBy(col("h")).agg(collect_list(col("dn")).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = buckets.select(explode(flatten(
-      transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
-          when(a.getField("doc_id") < b.getField("doc_id"),
-            struct(a.as("a"), b.as("b")))
-            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p"))
-    pairs
-      .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
-      .withColumn("ca", col("inter").cast("double") / col("na").cast("double"))
-      .withColumn("cb", col("inter").cast("double") / col("nb").cast("double"))
-      .filter(greatest(col("ca"), col("cb")) >= minContainment)
-      .select(col("a_id"), col("b_id"), col("inter"),
-        round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
-  }
+      n: Int, minContainment: Double): DataFrame =
+    containmentFrom(ngramPairStats(df, text, id, n), minContainment)
 
   /** Connected components over a candidate-pair edge list — the
     * clustering step that turns near-dup PAIRS into dedup GROUPS
