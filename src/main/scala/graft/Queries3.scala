@@ -84,7 +84,8 @@ object Queries3 {
   def q77(s: SparkSession, d: String): DataFrame = {
     val cc = LshStages.clusters(s, d)
     val qual = documents(s, d)
-      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      .select(col("doc_id"),
+        TextExpressions.quality_stats(col("text")).getField("quality").as("q"))
     val w = Window.partitionBy(col("cluster_id"))
     cc.join(qual, Seq("doc_id"))
       .withColumn("rn", row_number().over(w.orderBy(col("q").desc, col("doc_id"))))

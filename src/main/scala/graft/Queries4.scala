@@ -289,9 +289,9 @@ object Queries4 {
     * broadcasts.
     */
   def q92(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Text
+    import graft.functions.TextExpressions
     val docs = documents(s, d).select(col("doc_id"), col("lang"),
-      Text.qualityScore(col("text")).as("q"))
+      TextExpressions.quality_stats(col("text")).getField("quality").as("q"))
     val thr = docs.groupBy(col("lang"))
       .agg(percentile(col("q"), lit(0.10)).as("p10"))
     docs.join(broadcast(thr), Seq("lang"))

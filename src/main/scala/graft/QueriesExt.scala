@@ -21,16 +21,17 @@ object QueriesExt {
       .orderBy(col("doc_id"))
 
   /** Quality scoring: token count, mean token length, stopword ratio,
-    * blended score.
+    * blended score — all four from the single-pass QualityStats
+    * kernel (value-identical to the Column forms, TextVectorsSpec).
     */
   def q33(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
+    val st = graft.functions.TextExpressions.quality_stats(col("text"))
     documents(s, d).select(
       col("doc_id"),
-      size(toks).as("n_tok"),
-      round(Text.meanTokenLen(toks), 4).as("mean_tok_len"),
-      round(Text.stopwordRatio(toks), 4).as("stop_ratio"),
-      round(Text.qualityScore(col("text")), 4).as("quality"))
+      st.getField("n_tok").as("n_tok"),
+      round(st.getField("mean_tok_len"), 4).as("mean_tok_len"),
+      round(st.getField("stop_ratio"), 4).as("stop_ratio"),
+      round(st.getField("quality"), 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 

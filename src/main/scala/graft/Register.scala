@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import graft.functions.TextExpressions.ShingleHashes
+import graft.functions.TextExpressions.{Md5ShingleHashes, ShingleHashes, ShingleStrings, SimhashPacked}
 import graft.functions.VectorExpressions.{DotProduct, SumSq}
 import graft.ml.Fft
 
@@ -35,7 +35,16 @@ object Register {
       es => SumSq(es.head)),
     ("graft_shingle_hashes",
       "graft_shingle_hashes(text, n) - distinct XXH64 hashes of word n-grams",
-      es => ShingleHashes(es(0), intLit(es(1), "n"))))
+      es => ShingleHashes(es(0), intLit(es(1), "n"))),
+    ("graft_md5_shingle_hashes",
+      "graft_md5_shingle_hashes(text, n) - md5-derived 60-bit n-gram hashes (minhash base)",
+      es => Md5ShingleHashes(es(0), intLit(es(1), "n"))),
+    ("graft_shingle_strings",
+      "graft_shingle_strings(text, n) - distinct word n-gram shingle strings",
+      es => ShingleStrings(es(0), intLit(es(1), "n"))),
+    ("graft_simhash",
+      "graft_simhash(text, bits) - packed simhash fingerprint over whitespace tokens",
+      es => SimhashPacked(es(0), intLit(es(1), "bits"))))
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

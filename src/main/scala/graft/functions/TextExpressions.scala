@@ -243,4 +243,60 @@ object TextExpressions {
   /** Distinct n-gram shingle strings (single-pass kernel). */
   def shingle_strings(text: Column, n: Int): Column =
     GraftShim.column(ShingleStrings(GraftShim.expression(text), n))
+
+  /** Per-document quality statistics in ONE pass: tokenize, count,
+    * character-length sum (UTF8 numChars — same unit as Spark's
+    * length()), all-language stopword hits; emits the struct
+    * (n_tok, mean_tok_len, stop_ratio, quality) with EXACTLY the
+    * Text.qualityScore arithmetic (int length sum, /max(n,1), least
+    * caps, /3 blend), so consumers swap in value-identically. The
+    * Column form walks interpreted lambdas over the token array
+    * several times per document; this is the q33/q77/q92 hot kernel.
+    */
+  case class QualityStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("mean_tok_len", DoubleType, nullable = false),
+      StructField("stop_ratio", DoubleType, nullable = false),
+      StructField("quality", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      Text.stopwords.values.flatten.foreach(s.add)
+      s
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      var nTok = 0; var sumLen = 0; var nStop = 0
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          val tok = text.substring(start, i)
+          nTok += 1
+          sumLen += UTF8String.fromString(tok).numChars()
+          if (stopSet.contains(tok)) nStop += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      val denom = math.max(nTok, 1).toDouble
+      val mtl = sumLen.toDouble / denom
+      val sr = nStop.toDouble / denom
+      val q = (math.min(nTok.toDouble / 50.0, 1.0) +
+        math.min(mtl / 5.0, 1.0) + math.min(sr * 5.0, 1.0)) / 3.0
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTok, mtl, sr, q))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** One-pass (n_tok, mean_tok_len, stop_ratio, quality) struct. */
+  def quality_stats(text: Column): Column =
+    GraftShim.column(QualityStats(GraftShim.expression(text)))
 }

@@ -9,12 +9,18 @@ class RegisterSpec extends SparkSpec {
         |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |  graft_sumsq(array(3.0D, 4.0D)) AS ss,
         |  size(graft_shingle_hashes('a b c d', 3)) AS n_sh,
-        |  graft_spectral_energy(array(1.0D, 2.0D)) AS se
+        |  graft_spectral_energy(array(1.0D, 2.0D)) AS se,
+        |  size(graft_md5_shingle_hashes('a b c d', 3)) AS n_mh,
+        |  graft_shingle_strings('a b c d', 3) AS shs,
+        |  graft_simhash('hello world', 16) AS sh
         |""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
     assert(r.getInt(2) == 2)
     assert(math.abs(r.getDouble(3) - 5.0) < 1e-9)
+    assert(r.getInt(4) == 2)
+    assert(r.getSeq[String](5) == Seq("a b c", "b c d"))
+    assert(r.getLong(6) >= 0L && r.getLong(6) < (1L << 16))
   }
 
   test("SQL query over a table using registered kernels") {

@@ -158,6 +158,26 @@ class TextVectorsSpec extends SparkSpec {
     assert(df.select(Text.regexTokenCount($"t")).head().getInt(0) == 6)
   }
 
+  test("QualityStats kernel == the Column-form quality formulas on real docs") {
+    import graft.functions.TextExpressions
+    val docs = Tables.documents(spark, sf)
+    val toks = Text.tokens($"text")
+    val st = TextExpressions.quality_stats($"text")
+    val both = docs.filter($"text".isNotNull).select(
+      st.getField("n_tok"), size(toks),
+      st.getField("mean_tok_len"), Text.meanTokenLen(toks),
+      st.getField("stop_ratio"), Text.stopwordRatio(toks),
+      st.getField("quality"), Text.qualityScore($"text"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+      assert(r.getDouble(6) == r.getDouble(7))
+    }
+  }
+
   test("ShingleStrings kernel == array_distinct(shingles) on real docs") {
     import graft.functions.TextExpressions
     val docs = Tables.documents(spark, sf).limit(100)
