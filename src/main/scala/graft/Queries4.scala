@@ -323,7 +323,43 @@ object Queries4 {
       .orderBy(col("in_id"), col("ex_id"))
   }
 
+  /** EWMA-residual anomaly detection — the reference's monitoring
+    * purpose composed end-to-end: smooth the per-user signal with
+    * q68's truncated EWMA (SAME weight literals), then flag events
+    * whose residual exceeds 3 population σ of that user's residuals.
+    * σ via explicit moments over per-row DECIMAL casts (kurtosis/
+    * exactSum convention) so the two-phase mean is bit-stable; the
+    * flag compares unrounded identical doubles on both engines.
+    */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    import Queries2.{EwmaK, ewmaW, ewmaCum}
+    import org.apache.spark.sql.types.DecimalType
+    val w0 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val num = (0 until EwmaK).map(j =>
+      lit(ewmaW(j)) * coalesce(lag(col("value"), j).over(w0), lit(0.0)))
+      .reduce(_ + _)
+    val rn = row_number().over(w0)
+    val den = (1 until EwmaK).foldRight(lit(ewmaCum(EwmaK - 1)): org.apache.spark.sql.Column) {
+      (m, acc) => when(rn === m, lit(ewmaCum(m - 1))).otherwise(acc)
+    }
+    val resid = events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (col("value") - num / den).as("resid"))
+    val stats = resid.groupBy(col("user_id")).agg(
+      (sum(col("resid").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m1"),
+      (sum((col("resid") * col("resid")).cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m2"))
+    resid.join(broadcast(stats), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), round(col("resid"), 4).as("resid"),
+        (abs(col("resid")) >
+          lit(3.0) * sqrt(greatest(col("m2") - col("m1") * col("m1"), lit(0.0))))
+          .as("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_ewma_anomaly" -> (q94 _),
     "q93_incremental_dedup" -> (q93 _),
     "q92_quality_decile" -> (q92 _),
     "q82_embed_neardup_lsh" -> (q82 _),
@@ -381,6 +417,31 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q94_ewma_anomaly" -> {
+      import Queries2.{EwmaK, ewmaW, ewmaCum}
+      val num = (0 until EwmaK).map(j =>
+        s"${ewmaW(j)} * coalesce(lag(value, $j) OVER w0, 0.0)")
+        .mkString("\n    + ")
+      val den = (1 until EwmaK).map(m =>
+        s"WHEN rn = $m THEN ${ewmaCum(m - 1)}").mkString(" ")
+      s"""WITH x AS (SELECT event_id, user_id, value,
+         |  row_number() OVER w0 AS rn,
+         |  ($num) AS num
+         |FROM events
+         |WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |r AS (SELECT event_id, user_id,
+         |  value - num / (CASE $den ELSE ${ewmaCum(EwmaK - 1)} END) AS resid
+         |FROM x),
+         |st AS (SELECT user_id,
+         |  CAST(sum(CAST(resid AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m1,
+         |  CAST(sum(CAST(resid * resid AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m2
+         |FROM r GROUP BY user_id)
+         |SELECT r.event_id, r.user_id, round(resid, 4) AS resid,
+         |  abs(resid) > 3.0 * sqrt(greatest(m2 - m1 * m1, 0.0)) AS is_anomaly
+         |FROM r JOIN st ON r.user_id = st.user_id
+         |ORDER BY r.event_id""".stripMargin
+    },
+
     // same generated banding CTEs as q46/q62/q81 (OracleExt.lshBandCtes
     // — single source, no formula drift), side-filtered by the q78
     // content-hash split
