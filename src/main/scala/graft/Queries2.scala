@@ -177,11 +177,10 @@ object Queries2 {
     * agree.
     */
   def q64(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val nTok = size(toks)
-    val meanWlen = Text.meanTokenLen(toks)
-    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-      greatest(nTok, lit(1)).cast("double")
+    val st = graft.functions.TextExpressions.quality_stats(col("text"))
+    val nTok = st.getField("n_tok")
+    val meanWlen = st.getField("mean_tok_len")
+    val alphaFrac = st.getField("alpha_frac")
     documents(s, d).select(
       col("doc_id"),
       nTok.as("n_tok"),

@@ -98,11 +98,10 @@ object Queries4 {
     */
   def q85(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{Text, TextExpressions}
-    val toks = Text.tokens(col("text"))
-    val nTok = size(toks)
-    val meanWlen = Text.meanTokenLen(toks)
-    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-      greatest(nTok, lit(1)).cast("double")
+    val st = TextExpressions.quality_stats(col("text"))
+    val nTok = st.getField("n_tok")
+    val meanWlen = st.getField("mean_tok_len")
+    val alphaFrac = st.getField("alpha_frac")
     val base = documents(s, d).select(col("doc_id"),
       (nTok.between(50, 100000) && meanWlen.between(3.0, 10.0) &&
         alphaFrac >= 0.8).as("q_keep"),

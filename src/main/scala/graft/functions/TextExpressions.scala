@@ -246,12 +246,14 @@ object TextExpressions {
 
   /** Per-document quality statistics in ONE pass: tokenize, count,
     * character-length sum (UTF8 numChars — same unit as Spark's
-    * length()), all-language stopword hits; emits the struct
-    * (n_tok, mean_tok_len, stop_ratio, quality) with EXACTLY the
-    * Text.qualityScore arithmetic (int length sum, /max(n,1), least
-    * caps, /3 blend), so consumers swap in value-identically. The
-    * Column form walks interpreted lambdas over the token array
-    * several times per document; this is the q33/q77/q92 hot kernel.
+    * length()), all-language stopword hits, ASCII-lowercase presence;
+    * emits the struct (n_tok, mean_tok_len, stop_ratio, quality,
+    * alpha_frac) with EXACTLY the Column-form arithmetic
+    * (Text.qualityScore's int length sum / max(n,1) / least caps / 3
+    * blend; q64's rlike("[a-z]") alphabetic fraction), so consumers
+    * swap in value-identically. The Column forms walk interpreted
+    * lambdas over the token array several times per document; this is
+    * the q33/q64/q77/q85/q92 hot kernel.
     */
   case class QualityStats(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -260,7 +262,8 @@ object TextExpressions {
       StructField("n_tok", IntegerType, nullable = false),
       StructField("mean_tok_len", DoubleType, nullable = false),
       StructField("stop_ratio", DoubleType, nullable = false),
-      StructField("quality", DoubleType, nullable = false)))
+      StructField("quality", DoubleType, nullable = false),
+      StructField("alpha_frac", DoubleType, nullable = false)))
     override def nullIntolerant: Boolean = true
 
     @transient private lazy val stopSet: java.util.HashSet[String] = {
@@ -271,7 +274,7 @@ object TextExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val text = v.asInstanceOf[UTF8String].toString
-      var nTok = 0; var sumLen = 0; var nStop = 0
+      var nTok = 0; var sumLen = 0; var nStop = 0; var nAlpha = 0
       var start = 0; var i = 0
       while (i <= text.length) {
         if (i == text.length || text.charAt(i) == ' ') {
@@ -279,6 +282,14 @@ object TextExpressions {
           nTok += 1
           sumLen += UTF8String.fromString(tok).numChars()
           if (stopSet.contains(tok)) nStop += 1
+          // rlike("[a-z]") semantics: contains any ASCII lowercase char
+          var k = 0; var hasAlpha = false
+          while (k < tok.length && !hasAlpha) {
+            val c = tok.charAt(k)
+            if (c >= 'a' && c <= 'z') hasAlpha = true
+            k += 1
+          }
+          if (hasAlpha) nAlpha += 1
           start = i + 1
         }
         i += 1
@@ -289,14 +300,16 @@ object TextExpressions {
       val q = (math.min(nTok.toDouble / 50.0, 1.0) +
         math.min(mtl / 5.0, 1.0) + math.min(sr * 5.0, 1.0)) / 3.0
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](nTok, mtl, sr, q))
+        Array[Any](nTok, mtl, sr, q, nAlpha.toDouble / denom))
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  /** One-pass (n_tok, mean_tok_len, stop_ratio, quality) struct. */
+  /** One-pass (n_tok, mean_tok_len, stop_ratio, quality, alpha_frac)
+    * struct.
+    */
   def quality_stats(text: Column): Column =
     GraftShim.column(QualityStats(GraftShim.expression(text)))
 }

@@ -163,11 +163,14 @@ class TextVectorsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val toks = Text.tokens($"text")
     val st = TextExpressions.quality_stats($"text")
+    val alphaRef = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
     val both = docs.filter($"text".isNotNull).select(
       st.getField("n_tok"), size(toks),
       st.getField("mean_tok_len"), Text.meanTokenLen(toks),
       st.getField("stop_ratio"), Text.stopwordRatio(toks),
-      st.getField("quality"), Text.qualityScore($"text"))
+      st.getField("quality"), Text.qualityScore($"text"),
+      st.getField("alpha_frac"), alphaRef)
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
@@ -175,6 +178,7 @@ class TextVectorsSpec extends SparkSpec {
       assert(r.getDouble(2) == r.getDouble(3))
       assert(r.getDouble(4) == r.getDouble(5))
       assert(r.getDouble(6) == r.getDouble(7))
+      assert(r.getDouble(8) == r.getDouble(9))
     }
   }
 
