@@ -357,7 +357,35 @@ object Queries4 {
       .orderBy(col("event_id"))
   }
 
+  /** Pricing-summary report (TPC-H Q1 shape): the classic wide
+    * multi-aggregate — 4 decimal-exact sums, 3 means, a count — over
+    * a date-bounded lineitem scan, grouped by the 2-value flag pair.
+    * One partial+final hash aggregate; the date predicate pushes to
+    * parquet. Means divide the EXACT decimal sums by the count so no
+    * float partial-order can drift.
+    */
+  def q95(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Signal.exactSumD(col("l_quantity")).as("sum_qty"),
+        Signal.exactSumD(col("l_extendedprice")).as("sum_base_price"),
+        Signal.exactSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Signal.exactSumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        round(Signal.exactSum(col("l_quantity")).cast("double") / count(lit(1)), 4)
+          .as("avg_qty"),
+        round(Signal.exactSum(col("l_extendedprice")).cast("double") / count(lit(1)), 4)
+          .as("avg_price"),
+        round(Signal.exactSum(col("l_discount")).cast("double") / count(lit(1)), 4)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_pricing_summary" -> (q95 _),
     "q94_ewma_anomaly" -> (q94 _),
     "q93_incremental_dedup" -> (q93 _),
     "q92_quality_decile" -> (q92 _),
@@ -416,6 +444,21 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q95_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q94_ewma_anomaly" -> {
       import Queries2.{EwmaK, ewmaW, ewmaCum}
       val num = (0 until EwmaK).map(j =>

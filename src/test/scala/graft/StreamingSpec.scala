@@ -152,6 +152,28 @@ class StreamingSpec extends SparkSpec {
       s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
   }
 
+  test("T7 differential: streaming dedup over the file source == batch distinct") {
+    // dropDuplicatesWithinWatermark on a drained AvailableNow stream
+    // must keep exactly one row per event_id — same as batch distinct
+    val dir = Tables.eventsPath(spark, sf)
+    val sch = spark.read.parquet(dir).schema
+    val cp = Files.createTempDirectory("graft_t7diff_cp_").toString
+    val stream = spark.readStream.schema(sch).parquet(dir)
+    val q = Streaming.dedupWithinWatermark(stream, "ts", Seq("event_id"))
+      .writeStream.format("memory").queryName("t7diff")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamedIds = spark.table("t7diff")
+      .select($"event_id").as[Long].collect().sorted
+    val batchIds = Tables.events(spark, sf)
+      .select($"event_id").distinct().as[Long].collect().sorted
+    assert(streamedIds.nonEmpty)
+    assert(streamedIds.sameElements(batchIds))
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
