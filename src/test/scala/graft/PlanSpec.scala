@@ -96,6 +96,23 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("GreaterThanOrEqual") || pf.contains("IsNotNull"), pf)
   }
 
+  test("q92/q94: per-group threshold dims broadcast into the row-level pass") {
+    assert(simple("q92_quality_decile").contains("BroadcastHashJoin"))
+    assert(simple("q94_ewma_anomaly").contains("BroadcastHashJoin"))
+  }
+
+  test("q93: incremental dedup probes via equi-join on (band, bucket), no cartesian") {
+    val p = simple("q93_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("q95: the ship-date bound pushes into the lineitem scan") {
+    val pf = formatted("q95_pricing_summary").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pf.contains("l_shipdate"), pf)
+  }
+
   test("q85/q87: funnel and outlier screens broadcast their small sides") {
     // q85: the benchmark shingle set rides a broadcast semi-join (q79's
     // shape); the corpus side is never shuffled by the contamination join
