@@ -182,6 +182,31 @@ class TextVectorsSpec extends SparkSpec {
     }
   }
 
+  test("single-pass kernels == Column forms on tokenizer edge cases") {
+    import graft.functions.TextExpressions
+    // the hand-written tokenizers must replicate split(' ', -1) exactly:
+    // empty tokens kept, leading/trailing/double spaces, unicode, empties
+    val edge = Seq("", " ", "  ", "a", "a ", " a", "a  b", "the the the",
+      "的 了 是", ("x " * 100).trim, "one two three four five six seven")
+      .toDF("t")
+    val rows = edge.select(
+      TextExpressions.simhash_packed($"t", 16),
+      Text.simhash64(Text.tokens($"t"), 16),
+      TextExpressions.shingle_strings($"t", 3),
+      array_distinct(Text.shingles($"t", 3)),
+      TextExpressions.md5_shingle_hashes($"t", 3),
+      transform(Text.shingles($"t", 3), s => Text.md5Long(s)),
+      TextExpressions.quality_stats($"t").getField("quality"),
+      Text.qualityScore($"t"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash mismatch: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), s"shingle strings: $r")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5), s"md5 shingle hashes: $r")
+      assert(r.getDouble(6) == r.getDouble(7), s"quality: $r")
+    }
+  }
+
   test("ShingleStrings kernel == array_distinct(shingles) on real docs") {
     import graft.functions.TextExpressions
     val docs = Tables.documents(spark, sf).limit(100)
