@@ -119,6 +119,61 @@ class ScaleOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "expected planted near-dups to pair at 48 bits")
   }
 
+  test("simhash banding invariance holds on adversarial random corpora (multiple parameterizations)") {
+    import graft.operators.Dedup
+    // seeded corpus with engineered near-dup clones: base docs plus
+    // copies with k in-place token substitutions — small Hamming
+    // distances by construction, the regime where a banding bug
+    // (off-by-one band split, missed pigeonhole case) would hide
+    val rng = new scala.util.Random(77L)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    def doc(): Array[String] = Array.fill(30 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size)))
+    val bases = Seq.fill(25)(doc())
+    val clones = bases.flatMap { b =>
+      (1 to 2).map { k =>
+        val c = b.clone()
+        (0 until k).foreach(_ => c(rng.nextInt(c.length)) = vocab(rng.nextInt(vocab.size)))
+        c
+      }
+    }
+    val docs = (bases ++ clones).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((bits, bands, maxH) <- Seq((48, 4, 3), (48, 6, 5), (60, 4, 3), (24, 3, 2))) {
+      val banded = Dedup.simhashPairs(docs, $"text", $"doc_id", bits, bands, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = Dedup.simhashPacked(docs, $"text", $"doc_id", bits)
+      val a = sh.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+      val b = sh.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+      val brute = a.join(b, $"a_id" < $"b_id")
+        .withColumn("h", bit_count($"a_sh".bitwiseXOR($"b_sh")))
+        .filter($"h" <= maxH)
+        .select($"a_id", $"b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"($bits,$bands,$maxH): banded != brute")
+      assert(brute.nonEmpty, s"($bits,$bands,$maxH): clones should pair")
+    }
+  }
+
+  test("lshLookup finds a planted cross-side duplicate, never within-side pairs") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // clone of 1
+      (11L, "completely different words nothing shared here at all today friend")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.lshLookup(corpus, incoming, $"text", $"doc_id",
+      n = 3, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((10L, 1L)), s"planted cross-side dup missed: $cand")
+    assert(cand.forall { case (in, ex) => in >= 10L && ex < 10L },
+      s"pair sides mixed up: $cand")
+  }
+
   test("partition pruning: lake reads touch only the filtered partition") {
     val out = "/root/repo/target/lake/prune_test"
     Tables.events(spark, sf)
