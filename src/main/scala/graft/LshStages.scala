@@ -65,6 +65,12 @@ object LshStages {
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** q37/q90's shingle width — a deliberately SEPARATE constant from
+    * ShingleN: their oracles hardcode trigrams, so retuning the LSH
+    * banding parameterization must not silently change them.
+    */
+  val JaccardShingleN = 3
+
   private val ngramCache = TrieMap.empty[String, DataFrame]
 
   /** Trigram inverted-index pair statistics (a_id, b_id, inter, na,
@@ -74,6 +80,6 @@ object LshStages {
   def ngramStats(s: SparkSession, d: String): DataFrame =
     ngramCache.getOrElseUpdate(key(s, d),
       Dedup.ngramPairStats(Tables.documents(s, d), col("text"), col("doc_id"),
-        n = ShingleN)
+        n = JaccardShingleN)
         .persist(StorageLevel.MEMORY_AND_DISK))
 }

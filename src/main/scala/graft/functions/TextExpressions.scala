@@ -280,7 +280,9 @@ object TextExpressions {
         if (i == text.length || text.charAt(i) == ' ') {
           val tok = text.substring(start, i)
           nTok += 1
-          sumLen += UTF8String.fromString(tok).numChars()
+          // code points == UTF8String.numChars == Spark length(), with
+          // no per-token re-encode/allocation
+          sumLen += tok.codePointCount(0, tok.length)
           if (stopSet.contains(tok)) nStop += 1
           // rlike("[a-z]") semantics: contains any ASCII lowercase char
           var k = 0; var hasAlpha = false

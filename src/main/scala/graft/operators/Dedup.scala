@@ -58,17 +58,24 @@ object Dedup {
     * from the explode+agg minhash (codegen'd hashing); band keys
     * concatenate each band's signature slice.
     */
+  /** (doc_id-as-`outId`, band, bucket) banding rows — THE banding
+    * formula, single source for the within-corpus pair form
+    * (lshCandidates) and the cross-corpus lookup form (lshLookup).
+    * NULL signatures (NULL-text docs) have no shingles → no buckets.
+    */
+  private def bandedSignatures(df: DataFrame, text: Column, id: Column,
+      n: Int, bands: Int, rowsPerBand: Int, outId: String): DataFrame =
+    minhashSignature(df, text, id, n, bands * rowsPerBand)
+      .filter(col("s0").isNotNull)
+      .select(col("doc_id").as(outId),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"s${b * rowsPerBand + r}")): _*)
+        }: _*)).as(Seq("band", "bucket")))
+
   def lshCandidates(df: DataFrame, text: Column, id: Column,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    // NULL signatures (NULL-text docs) have no shingles → no buckets
-    val sigDf = minhashSignature(df, text, id, n, k)
-      .filter(col("s0").isNotNull)
-    val banded = sigDf.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          col(s"s${b * rowsPerBand + r}")): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, text, id, n, bands, rowsPerBand, "doc_id")
     // bucket-collect instead of a self-join: the signature pipeline
     // runs ONCE, one shuffle on (band,bucket), pairs generated inside
     // each bucket (same shape as ngramJaccardPairs)
@@ -95,19 +102,12 @@ object Dedup {
     * cost tracks the BATCH, not the corpus.
     */
   def lshLookup(existing: DataFrame, incoming: DataFrame, text: Column,
-      id: Column, n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    def banded(df: DataFrame, outId: String): DataFrame =
-      minhashSignature(df, text, id, n, bands * rowsPerBand)
-        .filter(col("s0").isNotNull)
-        .select(col("doc_id").as(outId),
-          posexplode(array((0 until bands).map { b =>
-            concat_ws("_", (0 until rowsPerBand).map(r =>
-              col(s"s${b * rowsPerBand + r}")): _*)
-          }: _*)).as(Seq("band", "bucket")))
-    banded(incoming, "in_id").join(banded(existing, "ex_id"), Seq("band", "bucket"))
+      id: Column, n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedSignatures(incoming, text, id, n, bands, rowsPerBand, "in_id")
+      .join(bandedSignatures(existing, text, id, n, bands, rowsPerBand, "ex_id"),
+        Seq("band", "bucket"))
       .select(col("in_id"), col("ex_id"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, filtered at `minJaccard`.

@@ -108,7 +108,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out") finally q.stop()
     // string canon: a 1-event window has NULL kurtosis (0/0 variance),
     // which Row.getDouble rejects — cast-to-string keeps NULL comparable
     def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String, String, Long)] =
@@ -139,7 +139,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out") finally q.stop()
     def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
       df.select(col("session_window.start").cast("string"),
         col("user_id"), col("n_events"))
@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out") finally q.stop()
     val streamedIds = spark.table("t7diff")
       .select($"event_id").as[Long].collect().sorted
     val batchIds = Tables.events(spark, sf)
