@@ -394,7 +394,44 @@ object Queries4 {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** U2 bag semantics: EXCEPT ALL — the multiset difference (per-user
+    * surplus of clicks over purchases), which the set-form intersect/
+    * except (q42/q24) cannot express. Re-aggregated so the output is
+    * deterministic.
+    */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .exceptAll(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_surplus"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): two halves
+    * of the corpus aggregated on a NULLABLE derived key (event_type
+    * only for high-value events, NULL otherwise) joined so the NULL
+    * groups MATCH each other — the semantics a plain equi-join
+    * silently drops. Full outer, so keys present in only one half
+    * surface with a 0 count.
+    */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val key = when(col("value") >= 100.0, col("event_type"))
+    val a = e.filter(col("user_id") < 750)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("n_low"))
+    val b = e.filter(col("user_id") >= 750)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("n_high"))
+    a.join(b.withColumnRenamed("k", "k2"), col("k") <=> col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("k"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"))
+      .orderBy(col("k"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_except_all" -> (q96 _),
+    "q97_null_safe_join" -> (q97 _),
     "q95_pricing_summary" -> (q95 _),
     "q94_ewma_anomaly" -> (q94 _),
     "q93_incremental_dedup" -> (q93 _),
@@ -454,6 +491,27 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q96_except_all" ->
+      """SELECT user_id, count(*) AS n_surplus FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q97_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN value >= 100.0 THEN event_type END AS k,
+        |    count(*) AS n_low
+        |  FROM events WHERE user_id < 750 GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN value >= 100.0 THEN event_type END AS k,
+        |    count(*) AS n_high
+        |  FROM events WHERE user_id >= 750 GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  coalesce(n_low, 0) AS n_low, coalesce(n_high, 0) AS n_high
+        |FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
     "q95_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
