@@ -429,7 +429,29 @@ object Queries4 {
       .orderBy(col("k"))
   }
 
+  /** J5 forward variant: for every purchase, the EARLIEST click
+    * at-or-after it by the same user — the look-ahead as-of
+    * (operators.AsOf with forward=true; same one-shuffle window
+    * composition, ts ordering reversed). DuckDB oracle: native ASOF
+    * LEFT JOIN with the <= comparison.
+    */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.AsOf
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    AsOf.join(purchases, clicks, "user_id", "ts", "ts", Seq("click_value"),
+      forward = true)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("matched_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_asof_forward" -> (q98 _),
     "q96_except_all" -> (q96 _),
     "q97_null_safe_join" -> (q97 _),
     "q95_pricing_summary" -> (q95 _),
@@ -491,6 +513,17 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q98_asof_forward" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.value,
+        |  c.ts AS matched_ts, c.click_value
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, ts) c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "q96_except_all" ->
       """SELECT user_id, count(*) AS n_surplus FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click'

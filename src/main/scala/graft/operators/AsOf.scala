@@ -26,7 +26,12 @@ object AsOf {
     * @param rightTs     right event-time column name
     * @param rightVals   right payload column names to carry; must not
     *                    collide with left column names
-    * @param toleranceSec max allowed left.ts - right.ts age; 0 = any
+    * @param toleranceSec max allowed |left.ts - right.ts| age; 0 = any
+    * @param forward     false (default): latest right at-or-BEFORE
+    *                    left.ts; true: earliest right at-or-AFTER
+    *                    left.ts (the look-ahead enrichment — next
+    *                    maintenance slot, next quote). Same one-shuffle
+    *                    window composition, ts ordering reversed.
     *
     * Note: multiple right rows with identical (key, ts) are an
     * undefined-order tie (as in every asof implementation); pre-dedup
@@ -34,7 +39,7 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      toleranceSec: Long = 0L): DataFrame = {
+      toleranceSec: Long = 0L, forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     // side 0 sorts before side 1 at equal ts → a right row at exactly
     // left.ts matches (asof <= semantics). The whole right row rides
@@ -61,15 +66,20 @@ object AsOf {
       .select(Seq(col("__side"), col("__ts"), col("__r"), col(key)) ++
         leftCols.filterNot(_ == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // ts DESC for forward: walking from the future backward, the last
+    // right row seen is the EARLIEST one at-or-after the current left
+    // row; __side keeps the equal-ts right row visible in both modes
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     val mts = col("__m").getField("__rts")
+    val age = if (forward)
+      mts.cast("double") - col("__ts").cast("double")
+    else col("__ts").cast("double") - mts.cast("double")
     val fresh = if (toleranceSec > 0)
-      col("__m").isNotNull &&
-        (col("__ts").cast("double") - mts.cast("double") <= toleranceSec)
+      col("__m").isNotNull && (age <= toleranceSec)
     else col("__m").isNotNull
     carried.filter(col("__side") === 1)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++

@@ -31,6 +31,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows(2).isNullAt(rows(2).fieldIndex("bid"))) // no quote ≤ 10:00:10
   }
 
+  test("forward as-of join picks the earliest right row at or after left.ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:00:30"), 101.0),
+      (2L, ts("2024-01-01 10:00:20"), 55.0)
+    ).toDF("sym", "ts", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 99.5),
+      (1L, ts("2024-01-01 10:00:30"), 100.9), // equal ts → matches
+      (1L, ts("2024-01-01 10:00:50"), 101.5),
+      (2L, ts("2024-01-01 10:00:10"), 54.0)   // before the trade → no match
+    ).toDF("sym", "qts", "bid")
+    val out = AsOf.join(trades, quotes, "sym", "ts", "qts", Seq("bid"),
+      forward = true).orderBy($"sym", $"ts")
+    val rows = out.collect()
+    assert(rows(0).getAs[Double]("bid") == 99.5)   // 10:00:05 → next at 10:00:10
+    assert(rows(1).getAs[Double]("bid") == 100.9)  // 10:00:30 → equal-ts quote
+    assert(rows(2).isNullAt(rows(2).fieldIndex("bid"))) // no quote ≥ 10:00:20
+  }
+
+  test("forward as-of tolerance nulls out too-distant future matches") {
+    val l = Seq((1L, ts("2024-01-01 09:00:00"), "x")).toDF("k", "ts", "v")
+    val r = Seq((1L, ts("2024-01-01 12:00:00"), 7.0)).toDF("k", "rts", "m")
+    val strict = AsOf.join(l, r, "k", "ts", "rts", Seq("m"),
+      toleranceSec = 60, forward = true)
+    assert(strict.head().isNullAt(strict.head().fieldIndex("m")))
+    val loose = AsOf.join(l, r, "k", "ts", "rts", Seq("m"),
+      toleranceSec = 4 * 3600, forward = true)
+    assert(loose.head().getAs[Double]("m") == 7.0)
+  }
+
   test("as-of join tolerance nulls out stale matches") {
     val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "ts", "v")
     val r = Seq((1L, ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "m")
