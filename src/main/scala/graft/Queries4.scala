@@ -450,7 +450,46 @@ object Queries4 {
       .orderBy(col("event_id"))
   }
 
+  /** Per-source duplication report — the corpus-QA dashboard number
+    * that decides which ingestion sources get aggressive dedup: docs,
+    * distinct contents (by md5 — the 16-byte key, never the body),
+    * and the duplicate rate. Exact integer counts + one guarded ratio.
+    */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 4).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Split-balance audit: per q78 train/val/test split, the document
+    * count and the Shannon entropy of its language mix — a skewed
+    * split (a language concentrated in one bucket) is a training-data
+    * bug this catches. Same −Σ p ln p form as q66, two exact-count
+    * aggregates deep.
+    */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Text
+    val b = pmod(Text.md5Long(col("text")), lit(100L))
+    val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val cnt = documents(s, d)
+      .groupBy(split.as("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("split"))))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    cnt.groupBy(col("split"))
+      .agg(max(col("tot")).as("n_docs"),
+        (round(-sum(p * log(p)), 4) + lit(0.0)).as("lang_entropy"))
+      .orderBy(col("split"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_source_dup_rate" -> (q99 _),
+    "q100_split_balance" -> (q100 _),
     "q98_asof_forward" -> (q98 _),
     "q96_except_all" -> (q96 _),
     "q97_null_safe_join" -> (q97 _),
@@ -513,6 +552,29 @@ object Oracle4 {
       "i -> array_to_string(toks[i:i+2], ' '))"
 
   val sql: Map[String, String] = Map(
+    "q99_source_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(greatest(count(*), 1) AS DOUBLE), 4) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q100_split_balance" -> {
+      val b = s"${md5long("text")} % 100"
+      s"""WITH sp AS (SELECT
+         |    CASE WHEN $b < 80 THEN 'train'
+         |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+         |    lang
+         |  FROM documents),
+         |cnt AS (SELECT split, lang, count(*) AS n FROM sp GROUP BY split, lang),
+         |w AS (SELECT split, n,
+         |  sum(n) OVER (PARTITION BY split) AS tot FROM cnt)
+         |SELECT split, CAST(max(tot) AS BIGINT) AS n_docs,
+         |  round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 4)
+         |    + 0.0 AS lang_entropy
+         |FROM w GROUP BY split ORDER BY split""".stripMargin
+    },
+
     "q98_asof_forward" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
         |  c.ts AS matched_ts, c.click_value
