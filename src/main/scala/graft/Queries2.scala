@@ -224,20 +224,31 @@ object Queries2 {
   }
 
   /** k-NN join (every vector is a query): top-3 cosine neighbors
-    * within the label block. Blocking bounds the pair fan-out exactly
-    * like an LSH bucket would at 100 TB; norms precomputed narrow;
-    * per-query ranking is a partition-local window, never a global
-    * sort.
+    * within the (label × LSH-bucket) block with depth-1 bit-flip
+    * multi-probe — the same literal hyperplane codebook as q82/q84
+    * (Ann.codebook via Queries4.Hps) and the same probe ladder as
+    * lshTopK (Ann.probeVariants), so the oracle reproduces the
+    * Hamming ≤ 1 neighborhood exactly. The composed key grows with
+    * the corpus (add hyperplanes → 2^n buckets), bounding per-block
+    * population where a bare `label` key's blocks grow linearly, and
+    * recall is tuned by probe depth; q84 is the corpus-wide depth-0
+    * twin. Norms and bucket precomputed narrow; per-query ranking is
+    * a partition-local window, never a global sort.
     */
   def q67(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).withColumn("nrm", Vectors.norm(col("embedding")))
-    val a = e.select(col("vec_id").as("q_id"), col("label"),
+    val e = embeddings(s, d)
+      .withColumn("bucket", operators.Ann.lshBucket(col("embedding"), Queries4.Hps))
+      .withColumn("nrm", Vectors.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("q_id"), col("label"), col("bucket"),
       col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val b = e.select(col("vec_id").as("n_id"), col("label").as("label_b"),
+      explode(operators.Ann.probeVariants(col("bucket"), Queries4.Hps.length, 1))
+        .as("bucket_b"),
       col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    a.join(b, col("label") === col("label_b") && col("q_id") =!= col("n_id"))
+    a.join(b, col("label") === col("label_b") &&
+        col("bucket") === col("bucket_b") && col("q_id") =!= col("n_id"))
       .withColumn("cos",
         Vectors.dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rk", row_number().over(w))
@@ -573,7 +584,10 @@ object Oracle2 {
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q67_knn_join" ->
-      """WITH p AS (
+      s"""WITH bk AS (SELECT vec_id, label, embedding,
+        |    ${Oracle4.bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |p AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
         |    list_sum(list_transform(range(1, len(a.embedding)+1),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
@@ -581,8 +595,9 @@ object Oracle2 {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(b.embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |  FROM bk a JOIN bk b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE (${OracleExt.hammingSql("a.bucket", "b.bucket", 4)}) <= 1),
         |rk AS (SELECT q_id, n_id, cos,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
         |FROM p)

@@ -18,36 +18,40 @@ import graft.functions.{Text, TextExpressions}
 object Queries3 {
   import Tables._
 
-  /** Exact edit-distance near-dup pairs: same-language pairs within
-    * 10 chars of each other's length whose Levenshtein distance is
-    * ≤ 10 (planted near-dups sit at distance ~4).
+  /** Edit-distance near-dup pairs, LSH-recalled: same-language pairs
+    * within 10 chars of each other's length whose Levenshtein distance
+    * is ≤ 10 (planted near-dups sit at distance ~4), with candidates
+    * proposed by the SAME minhash-LSH banding stage as q46/q62/q81
+    * (LshStages.candidatePairs — one equi-join shuffle on
+    * (band, bucket), whose cardinality GROWS with the corpus).
     *
-    * Scale shape: docs are blocked on (lang, 11-char length band) and
-    * each right-side doc is probed into its own and both adjacent
-    * bands, so any pair passing the |Δlen| ≤ 10 prefilter meets in
-    * EXACTLY one (band, lang) bucket — the quadratic term is bounded
-    * per bucket, parallel across buckets, and no pair is emitted
-    * twice. The threshold form of `levenshtein` abandons the DP early
-    * once a row exceeds 10, so rejected pairs cost O(len·10), not
-    * O(len²). The banding is semantically invisible (band width 11 ⊇
-    * the |Δlen| ≤ 10 prefilter, itself implied by dist ≤ 10): the
-    * oracle is the plain blocked join. This stays exact-quadratic
-    * within blocks; q81 is the sub-quadratic LSH-verified form for
-    * open-scale corpora.
+    * Scale shape: the earlier (lang, 31-value length band) blocking
+    * was an equi-join but its key cardinality was constant, so each
+    * block's population — and the quadratic pair term inside it —
+    * grew linearly with the corpus. Here the pair fan-out is bounded
+    * by LSH bucket collisions (sub-quadratic, the q81 recall stage),
+    * and lang/|Δlen| ≤ 10 are cheap post-filters on candidates. The
+    * threshold form of `levenshtein` abandons the DP early once a row
+    * exceeds 10, so rejected candidates cost O(len·10), not O(len²).
+    * The oracle reproduces the identical banding CTEs
+    * (OracleExt.lshPairCtes), so the recall stage is hash-verified;
+    * TrainPipeSpec additionally proves this form ≡ the plain
+    * (lang, Δlen)-blocked quadratic join intersected with the LSH
+    * candidate set.
     */
   def q76(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
-        (col("n_chars") / 11).cast("long").as("band"))
-    val probe = docs
-      .select(col("doc_id").as("b_id"), col("lang"), col("text").as("b_text"),
-        col("n_chars").as("b_chars"),
-        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    docs.join(probe, Seq("lang", "band"))
-      .filter(col("doc_id") < col("b_id") &&
-        abs(col("n_chars") - col("b_chars")) <= 10)
-      .select(col("doc_id").as("a_id"), col("b_id"),
-        levenshtein(col("text"), col("b_text"), 10).as("dist"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val cand = LshStages.candidatePairs(s, d)
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("text").as("a_text"), col("n_chars").as("a_chars")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("text").as("b_text"), col("n_chars").as("b_chars")), Seq("b_id"))
+      .filter(col("lang") === col("lang_b") &&
+        abs(col("a_chars") - col("b_chars")) <= 10)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text"), 10).as("dist"))
       .filter(col("dist") >= 0)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -187,13 +191,16 @@ object Oracle3 {
 
   val sql: Map[String, String] = Map(
     "q76_edit_distance_pairs" ->
-      """SELECT a_id, b_id, dist FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    levenshtein(a.text, b.text) AS dist
-        |  FROM documents a JOIN documents b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |   AND abs(a.n_chars - b.n_chars) <= 10)
-        |WHERE dist <= 10 ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH ${OracleExt.lshPairCtes},
+         |v AS (SELECT p.a_id, p.b_id,
+         |    levenshtein(da.text, db.text) AS dist
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.a_id
+         |  JOIN documents db ON db.doc_id = p.b_id
+         |  WHERE da.lang = db.lang
+         |    AND abs(da.n_chars - db.n_chars) <= 10)
+         |SELECT a_id, b_id, dist FROM v
+         |WHERE dist <= 10 ORDER BY a_id, b_id""".stripMargin,
 
     "q81_lsh_verified_pairs" ->
       s"""WITH ${OracleExt.lshPairCtes},

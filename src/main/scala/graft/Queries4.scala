@@ -523,7 +523,7 @@ object Oracle4 {
     s"list_sum(list_transform(range(1, 65), " +
       s"k -> CAST($e[k] AS DOUBLE) * (${lits(hp)})[k]))"
 
-  private def bucketSql(e: String): String =
+  private[graft] def bucketSql(e: String): String =
     Queries4.Hps.map(hp =>
       s"CASE WHEN ${dotLit(e, hp)} > 0 THEN '1' ELSE '0' END")
       .mkString(" || ")

@@ -62,19 +62,34 @@ object QueriesExt {
     Dedup.jaccardFrom(LshStages.ngramStats(s, d), 0.12)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Embedding-cosine near-dup pairs, blocked on label (the blocking
-    * key stands in for an LSH bucket at scale — never all-pairs).
+  /** Embedding-cosine near-dup pairs WITHIN a label, sub-blocked on
+    * the random-hyperplane LSH bucket (Ann.codebook — the same literal
+    * codebook q82/q84 use, so the oracle reproduces the bucketing
+    * bit-for-bit) with depth-1 bit-flip multi-probe for recall
+    * (Ann.probeVariants — the pair-join form of lshTopK's probe
+    * ladder; a pair qualifies iff its buckets are within Hamming 1,
+    * and matches exactly once because one bucket's variants are
+    * distinct). The composed (label × bucket-variant) key GROWS with
+    * the corpus: at 100× you add hyperplanes (2^n buckets), keeping
+    * per-block population bounded where a bare `label` key's blocks
+    * grow linearly, and tune recall with the probe depth. q82 is the
+    * corpus-wide depth-0 twin; ScaleOpsSpec proves this form ≡ the
+    * plain label-blocked join restricted to Hamming ≤ 1 collisions.
     */
   def q38(s: SparkSession, d: String): DataFrame = {
-    // norms computed ONCE per vector (narrow) before the pair join —
-    // the join then evaluates only the dot product per pair
+    // norms and bucket computed ONCE per vector (narrow) before the
+    // pair join — the join then evaluates only the dot product per pair
     val e = embeddings(s, d)
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), Queries4.Hps))
       .withColumn("nrm", Vectors.norm(col("embedding")))
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("bucket"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+      explode(Ann.probeVariants(col("bucket"), Queries4.Hps.length, 1))
+        .as("bucket_b"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+    a.join(b, col("label") === col("label_b") &&
+        col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
       .withColumn("cos",
         Vectors.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= 0.4)
@@ -353,6 +368,15 @@ object OracleExt {
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)}))"
 
+  /** Hamming distance between two n-char '0'/'1' bucket strings —
+    * the oracle mirror of Ann.probeVariants' depth-≤ match (shared
+    * with Oracle2's q67).
+    */
+  private[graft] def hammingSql(a: String, b: String, n: Int): String =
+    (1 to n).map(i =>
+      s"CASE WHEN substring($a, $i, 1) <> substring($b, $i, 1) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+
   private val langs = Seq("en", "fr", "es", "de", "zh")
 
   /** DuckDB mirror of Text.minhashMix(h, i): the SAME A/B/C literals
@@ -472,11 +496,15 @@ object OracleExt {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q38_embed_neardup" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      s"""WITH bk AS (SELECT vec_id, label, embedding,
+         |    ${Oracle4.bucketSql("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(${cosine("a.embedding", "b.embedding")}, 4) AS cosine
-         |FROM embeddings a JOIN embeddings b
+         |FROM bk a JOIN bk b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosine("a.embedding", "b.embedding")} >= 0.4
+         |WHERE (${hammingSql("a.bucket", "b.bucket", 4)}) <= 1
+         |  AND ${cosine("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q39_ann_lsh" -> {

@@ -96,6 +96,28 @@ object Ann {
       .crossJoin(broadcast(probe)), idCol, vecCol, k)
   }
 
+  /** All bucket ids within Hamming distance ≤ `depth` of `bucket`
+    * (the identity variant included), as an array column — the
+    * pair-join form of lshTopK's bit-flip multi-probe. The variants
+    * of one bucket are DISTINCT strings, so an equi-join of a row's
+    * exact bucket against another row's exploded variants matches
+    * each qualifying pair exactly once — no dedup pass needed.
+    */
+  def probeVariants(bucket: Column, nPlanes: Int, depth: Int): Column = {
+    require(depth >= 0 && depth <= nPlanes,
+      s"depth must be in [0, $nPlanes], got $depth")
+    val flipSets = (0 to depth)
+      .flatMap(sz => (0 until nPlanes).combinations(sz).map(_.toSet))
+    array(flipSets.map { s =>
+      concat((0 until nPlanes).map { i =>
+        if (s.contains(i))
+          when(substring(bucket, i + 1, 1) === "1", lit("0"))
+            .otherwise(lit("1"))
+        else substring(bucket, i + 1, 1)
+      }: _*)
+    }: _*)
+  }
+
   /** LSH-bucketed ANN: restrict the scan to vectors in the probe's
     * bucket, then exact cosine top-k inside it.
     *
@@ -119,19 +141,8 @@ object Ann {
     val pb = probe.withColumn("pb0", lshBucket(col("probe_emb"), hyperplanes))
     val probeB =
       if (multiProbeDepth == 0) pb.withColumn("probe_bucket", col("pb0"))
-      else {
-        val flipSets = (0 to multiProbeDepth)
-          .flatMap(sz => (0 until n).combinations(sz).map(_.toSet))
-        val variants = flipSets.map { s =>
-          concat((0 until n).map { i =>
-            if (s.contains(i))
-              when(substring(col("pb0"), i + 1, 1) === "1", lit("0"))
-                .otherwise(lit("1"))
-            else substring(col("pb0"), i + 1, 1)
-          }: _*)
-        }
-        pb.withColumn("probe_bucket", explode(array(variants: _*)))
-      }
+      else pb.withColumn("probe_bucket",
+        explode(probeVariants(col("pb0"), n, multiProbeDepth)))
     cosineTopK(
       bucketed.join(broadcast(probeB), col("bucket") === col("probe_bucket")),
       idCol, vecCol, k)

@@ -69,10 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(simple("q80_mix_weights").contains("BroadcastHashJoin"))
   }
 
-  test("q76: pair generation is an equi-join on (lang, band), not a cartesian") {
+  test("q76: pair generation equi-joins on the LSH (band, bucket), not a cartesian") {
     val p = simple("q76_edit_distance_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(600))
+  }
+
+  test("q38/q67: pair generation equi-joins on (label, LSH bucket), not a cartesian") {
+    Seq("q38_embed_neardup", "q67_knn_join").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(600)}")
+    }
   }
 
   test("q47: simhash pairs bucket on bit-bands — no all-pairs join in the plan") {

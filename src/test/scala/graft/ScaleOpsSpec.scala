@@ -186,6 +186,50 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q38/q67: (label × LSH bucket) multi-probe == plain label blocking ∩ Hamming ≤ 1") {
+    import graft.operators.Ann
+    // driver-side ground truth over the full sf0.001 table (500 rows):
+    // the composed block must find exactly the plain label-blocked
+    // pairs whose hyperplane buckets are within Hamming distance 1
+    // (= the depth-1 probeVariants neighborhood)
+    val rows = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Ann.lshBucket($"embedding", Queries4.Hps))
+      .select($"vec_id", $"label", $"bucket", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[Float](3).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ham(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val expected38 = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if rows(i)._2 == rows(j)._2 && ham(rows(i)._3, rows(j)._3) <= 1
+      if cos(rows(i)._4, rows(j)._4) >= 0.4
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    val got38 = QueriesExt.q38(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got38 == expected38,
+      s"got\\exp=${got38 -- expected38}, exp\\got=${expected38 -- got38}")
+    assert(got38.nonEmpty, "multi-probe should recall threshold pairs at depth 1")
+
+    val expected67 = rows.flatMap { q =>
+      rows.filter(n => n._1 != q._1 && n._2 == q._2 && ham(n._3, q._3) <= 1)
+        .map(n => (n._1, cos(q._4, n._4)))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), k) => (q._1, k + 1, nid) }
+    }.toSet
+    val got67 = Queries2.q67(spark, sf)
+      .select($"q_id", $"rk", $"n_id").as[(Long, Int, Long)].collect().toSet
+    assert(got67 == expected67,
+      s"got\\exp=${got67 -- expected67}, exp\\got=${expected67 -- got67}")
+    assert(got67.nonEmpty)
+  }
+
   test("lshLookup finds a planted cross-side duplicate, never within-side pairs") {
     import graft.operators.Dedup
     val corpus = Seq(

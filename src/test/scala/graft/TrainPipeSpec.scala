@@ -25,17 +25,23 @@ class TrainPipeSpec extends SparkSpec {
     }
   }
 
-  test("q76: banding finds exactly the pairs a plain blocked join finds") {
-    // semantically-invisible banding: recompute without bands
+  test("q76: composed blocking == plain (lang, Δlen) quadratic join ∩ LSH candidates") {
+    // the declared form's recall stage is exactly LshStages'
+    // candidate set — no pair invented, none dropped beyond LSH recall
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text", $"n_chars")
     val plain = docs.as("a").join(docs.as("b"),
         $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id" &&
           abs($"a.n_chars" - $"b.n_chars") <= 10)
       .filter(levenshtein($"a.text", $"b.text", 10) >= 0)
       .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
-    val banded = Queries3.q76(spark, sf)
+    val cand = LshStages.candidatePairs(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
-    assert(banded == plain, s"banded=$banded plain=$plain")
+    val composed = Queries3.q76(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(composed == (plain & cand),
+      s"composed\\expected=${composed -- (plain & cand)}, " +
+        s"expected\\composed=${(plain & cand) -- composed}")
+    assert(composed.nonEmpty, "planted near-dups should survive LSH recall")
   }
 
   test("q81: verified pairs are exactly the LSH candidates within distance 30") {
