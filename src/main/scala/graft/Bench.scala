@@ -24,8 +24,12 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // two timed passes, min per query: steady-state time, robust to
-    // one-off GC/compilation pauses (the driver records one JSON line)
+    // three timed passes, min per query: steady-state time, robust to
+    // one-off GC/compilation pauses AND to a whole pass landing on a
+    // loaded-host window (BENCH_r04 recorded 1.7× on bit-identical
+    // code from exactly that). Per-pass totals are emitted alongside
+    // so the artifact carries its own noise evidence: a spread ≫ the
+    // min flags host contention, not a plan regression.
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -34,11 +38,11 @@ object Bench {
       // failures report -1 so a broken query can never look fast
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val (p1, p2) = (pass(), pass())
-    // min over SUCCESSFUL passes; -1 only if both failed, and failures
+    val passes = Seq(pass(), pass(), pass())
+    // min over SUCCESSFUL passes; -1 only if all failed, and failures
     // never deflate the summed total
     val results = names.map { n =>
-      val ok = Seq(p1(n), p2(n)).filter(_ >= 0)
+      val ok = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -48,7 +52,10 @@ object Bench {
     // rather than silently smaller
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val passTotals = passes
+      .map(p => if (p.values.exists(_ < 0)) -1.0 else p.values.sum)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -314,15 +314,28 @@ object Dedup {
     }
     var iter = 0
     var converged = false
+    // single-action convergence probe: the (|E|, Σxxhash64(u,v),
+    // Σxxhash64(7,u,v)) fingerprint of the DISTINCT edge set. Equal
+    // fingerprints on consecutive rounds mean equal sets up to a
+    // ~2^-128 two-sum collision — one aggregate job per round where
+    // the previous count+except probe cost two actions (and an extra
+    // shuffle) on the billion-edge path this algorithm exists for.
+    def fingerprint(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(lit(7L), col("u"), col("v")).cast("decimal(38,0)"))).head()
+      def dec(i: Int): BigDecimal =
+        Option(r.getDecimal(i)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      (r.getLong(0), dec(1), dec(2))
+    }
+    var fp = fingerprint(edges)
     while (!converged && iter < maxIter) {
       val next = star(star(edges, large = true), large = false).localCheckpoint()
-      // exact fixpoint check; the edge list is tiny relative to the
-      // corpus (candidate pairs), so two extra jobs per round are
-      // cheaper than a wrong probabilistic probe
-      val changed = next.count() != edges.count() ||
-        next.except(edges).limit(1).count() > 0
+      val nfp = fingerprint(next)
       edges = next
-      if (!changed) converged = true
+      if (nfp == fp) converged = true
+      fp = nfp
       iter += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")

@@ -23,12 +23,21 @@ object Kafka {
     */
   def sourceOptions(bootstrap: String, topic: String,
       startingOffsets: String = "earliest",
-      maxOffsetsPerTrigger: Long = 10000L): Map[String, String] = Map(
-    "kafka.bootstrap.servers" -> bootstrap,
-    "subscribe" -> topic,
-    "startingOffsets" -> startingOffsets,
-    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
-    "failOnDataLoss" -> "false")
+      maxOffsetsPerTrigger: Long = 10000L,
+      readCommitted: Boolean = false): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      "failOnDataLoss" -> "false")
+    // a consumer of a TRANSACTIONAL upstream must skip aborted
+    // transactions, or exactly-once upstream degrades to
+    // at-least-once at this hop ("kafka."-prefixed options pass
+    // through to the underlying consumer)
+    if (!readCommitted) base
+    else base + ("kafka.isolation.level" -> "read_committed")
+  }
 
   def source(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     sourceOptions(bootstrap, topic).foldLeft(
@@ -93,4 +102,41 @@ object Kafka {
       "kafka.enable.idempotence" -> "true",
       "kafka.acks" -> "all")
   }
+
+  /** Producer config for the foreachBatch-managed TRANSACTIONAL path —
+    * the one way to get end-to-end exactly-once INTO Kafka from Spark.
+    * Delivery modes, explicitly:
+    *
+    *  - `sinkOptions(...)`                    at-least-once (Spark sink)
+    *  - `sinkOptions(..., idempotent = true)` at-least-once, broker-side
+    *    retry duplicates removed (idempotent producer + acks=all)
+    *  - `transactionalProducerConf` + foreachBatch   exactly-once: the
+    *    batch's sends commit atomically; consumers configured
+    *    read_committed (`sourceOptions(readCommitted = true)`) never
+    *    observe an aborted batch.
+    *
+    * These are raw kafka-clients producer keys (no "kafka." prefix):
+    * foreachBatch constructs its own producer rather than going
+    * through the Spark sink, because the sink never drives the
+    * transaction API. `transactionalId` must be STABLE across restarts
+    * of the same logical writer (e.g. queryName-partitionId): Kafka
+    * fences the zombie instance on initTransactions, which is what
+    * makes restart + retry safe. The producer loop itself needs a
+    * broker (none in this image); the config contract is asserted
+    * broker-free in KafkaEnvelopeSpec and runs unchanged on a real
+    * cluster with kafka-clients on the classpath.
+    */
+  def transactionalProducerConf(bootstrap: String,
+      transactionalId: String): Map[String, String] = Map(
+    "bootstrap.servers" -> bootstrap,
+    "transactional.id" -> transactionalId,
+    // idempotence + acks=all + unlimited retries are REQUIRED by the
+    // transactional producer; stated explicitly so a copy-paste into
+    // non-transactional config keeps the safe values
+    "enable.idempotence" -> "true",
+    "acks" -> "all",
+    "retries" -> Int.MaxValue.toString,
+    "max.in.flight.requests.per.connection" -> "5",
+    "key.serializer" -> "org.apache.kafka.common.serialization.StringSerializer",
+    "value.serializer" -> "org.apache.kafka.common.serialization.StringSerializer")
 }

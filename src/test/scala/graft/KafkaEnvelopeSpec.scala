@@ -65,4 +65,29 @@ class KafkaEnvelopeSpec extends SparkSpec {
     // would break the first send, so it must never be emitted
     assert(!idem.contains("kafka.transactional.id"))
   }
+
+  test("transactional producer conf carries the full exactly-once contract") {
+    val conf = Kafka.transactionalProducerConf("b:9092", "graft-agg-0")
+    // the three settings Kafka REQUIRES of a transactional producer
+    assert(conf("transactional.id") == "graft-agg-0")
+    assert(conf("enable.idempotence") == "true")
+    assert(conf("acks") == "all")
+    assert(conf("retries").toLong > 0)
+    // raw kafka-clients keys for the foreachBatch-owned producer —
+    // none of the Spark-sink "kafka." prefixes may leak in
+    assert(conf.keys.forall(!_.startsWith("kafka.")), conf.keys.mkString(","))
+    // distinct writers must be able to carry distinct fencing ids
+    assert(Kafka.transactionalProducerConf("b:9092", "graft-agg-1")("transactional.id")
+      != conf("transactional.id"))
+  }
+
+  test("read_committed source option completes the exactly-once hop") {
+    val plain = Kafka.sourceOptions("b:9092", "t")
+    assert(!plain.contains("kafka.isolation.level"),
+      "default consumer stays read_uncommitted")
+    val rc = Kafka.sourceOptions("b:9092", "t", readCommitted = true)
+    assert(rc("kafka.isolation.level") == "read_committed")
+    // the rest of the consumer contract is unchanged by the flag
+    assert(rc("subscribe") == "t" && rc("failOnDataLoss") == "false")
+  }
 }
