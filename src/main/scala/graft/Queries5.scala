@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Skew}
+
+/** Round-5 scale-hardening queries: the at-100× configuration of two
+  * operators that were already correct but whose declared forms left a
+  * scale mode unverified.
+  *
+  *  - q101: q28's sessionization through Skew.chunkedSessionize — the
+  *    skew-safe two-phase window. The oracle is the UNCHUNKED session
+  *    SQL (q28's, verbatim), so the hash match IS the invariance
+  *    proof: chunk-local windows + boundary stitching produce
+  *    bit-identical sessions to the plain per-key window.
+  *  - q102: q37's trigram Jaccard with the df-capped inverted index
+  *    (Dedup.ngramPairStats maxDf) — the 100 TB mode that bounds a
+  *    boilerplate shingle's bucket before the pair explosion. The
+  *    oracle applies the same cap, so the at-scale configuration is
+  *    itself hash-verified (previously only the uncapped form was).
+  */
+object Queries5 {
+  import Tables._
+
+  /** q28's session stats, computed skew-safe: 6-hour chunk windows +
+    * boundary stitch (operators.Skew.chunkedSessionize). One hot user
+    * becomes many bounded (user, chunk) tasks plus a chunk-count-sized
+    * stitch window, instead of one straggler task holding every event
+    * of the key. Output and oracle are exactly q28's.
+    */
+  def q101(s: SparkSession, d: String): DataFrame =
+    Skew.chunkedSessionize(events(s, d), "user_id", "ts", "event_id",
+        gapSec = 1800.0, chunkSec = 6L * 3600L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** q37's n-gram Jaccard pairs with the document-frequency cap
+    * (maxDf = 5): a shingle appearing in more than 5 docs is dropped
+    * from the inverted index BEFORE pair generation, bounding the
+    * quadratic per-bucket term that boilerplate n-grams would
+    * otherwise explode at corpus scale. Sizes (na, nb) stay UNCAPPED,
+    * so the Jaccard denominator is the true shingle-set union — the
+    * cap only prunes which shingles may propose/count intersections.
+    */
+  def q102(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"),
+        n = 3, minJaccard = 0.12, maxDf = 5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_chunked_sessions" -> (q101 _),
+    "q102_capped_jaccard" -> (q102 _))
+}
+
+object Oracle5 {
+
+  /** DuckDB mirror of Text.shingles(text, 3) (clamped-slice form). */
+  private val shingles3 =
+    "list_transform(range(1, greatest(len(toks)-2, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+2], ' '))"
+
+  val sql: Map[String, String] = Map(
+    // the UNCHUNKED plain-window session SQL — identical to q28's
+    // oracle on purpose: hash-matching it proves the chunked two-phase
+    // computation is semantically invisible
+    "q101_chunked_sessions" -> Oracle.sql("q28_sessionize"),
+
+    "q102_capped_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shingles3 AS sh FROM t),
+         |shu AS (SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM g),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shu GROUP BY doc_id),
+         |df AS (SELECT shingle, count(*) AS d FROM shu GROUP BY shingle),
+         |kept AS (SELECT shu.doc_id, shu.shingle FROM shu
+         |  JOIN df USING (shingle) WHERE d <= 5),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_int
+         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON a_id = sa.doc_id
+         |JOIN sz sb ON b_id = sb.doc_id
+         |WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.12
+         |ORDER BY a_id, b_id""".stripMargin)
+}

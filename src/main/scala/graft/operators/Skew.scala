@@ -29,6 +29,70 @@ object Skew {
       .agg(sum(col("c")).as("n"), sum(col("s")).as("sum"),
         min(col("mn")).as("min"), max(col("mx")).as("max"))
 
+  /** Two-phase skew-safe sessionization (the windowed analogue of
+    * saltedStats): gap > `gapSec` sessionization where the per-key
+    * window is split into fixed time CHUNKS, sessionized chunk-locally,
+    * then stitched at chunk boundaries. A key with 10^9 events becomes
+    * many bounded (key, chunk) window partitions instead of one
+    * straggler task — the plain `Window.partitionBy(key)` form (q28)
+    * funnels every event of a hot key through one task.
+    *
+    * Phase 1: window over (key, chunk): local gap/is-new/running
+    * session count, each chunk's first event provisionally a start.
+    * Phase 2: ONE ROW PER (key, chunk) — first/last event time and
+    * local start count — stitched by a per-key window over chunk
+    * aggregates (rows = chunks per key, bounded by time span, never by
+    * event volume): a chunk whose first event is within `gapSec` of
+    * the previous chunk's last event merges its first local session
+    * into the previous session (`merge = 1`), and each chunk's global
+    * offset is the running sum of real starts before it. Global
+    * session_id = offset + local_id − merge, which equals the plain
+    * form's "count of true session starts so far" — sessions spanning
+    * any number of chunks (or empty chunks) stitch transitively
+    * because every boundary is tested independently.
+    *
+    * Gap semantics mirror q28 exactly (double-seconds, strict >).
+    * Equality with the plain window is proved in ScaleOpsSpec across
+    * chunk sizes and by q101's DuckDB oracle (the UNCHUNKED session
+    * SQL).
+    */
+  def chunkedSessionize(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreakCol: String, gapSec: Double, chunkSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkSec > 0, s"chunkSec must be positive, got $chunkSec")
+    val base = df
+      .withColumn("__ts", col(tsCol).cast("double"))
+      .withColumn("__chunk",
+        floor(unix_micros(col(tsCol)) / lit(chunkSec * 1000000L)))
+    val wc = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(col("__ts"), col(tieBreakCol))
+    val local = base
+      .withColumn("__gap", col("__ts") - lag(col("__ts"), 1).over(wc))
+      .withColumn("__is_new",
+        when(col("__gap").isNull || col("__gap") > gapSec, 1).otherwise(0))
+      .withColumn("__lsid",
+        sum(col("__is_new")).over(wc.rowsBetween(Window.unboundedPreceding, 0)))
+    val wu = Window.partitionBy(col("__k")).orderBy(col("__c"))
+    val stitched = local
+      .groupBy(col(keyCol).as("__k"), col("__chunk").as("__c"))
+      .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"),
+        max(col("__lsid")).as("__nstarts"))
+      .withColumn("__merge",
+        when(col("__first") - lag(col("__last"), 1).over(wu) <= gapSec, 1)
+          .otherwise(0))
+      .withColumn("__offset",
+        coalesce(sum(col("__nstarts") - col("__merge"))
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__k"), col("__c"), col("__merge"), col("__offset"))
+    local
+      .join(stitched,
+        col(keyCol) === col("__k") && col("__chunk") === col("__c"))
+      .withColumn("session_id",
+        col("__offset") + col("__lsid") - col("__merge"))
+      .drop("__ts", "__chunk", "__gap", "__is_new", "__lsid",
+        "__k", "__c", "__merge", "__offset")
+  }
+
   /** Salted equi-join for a skewed fact against a small-ish dim that
     * cannot broadcast: the dim is replicated `salts` times, the fact
     * picks a deterministic salt, and the join key becomes (key, salt)

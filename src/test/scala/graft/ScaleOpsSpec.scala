@@ -83,6 +83,83 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("m")), "NULL payload must not fall back to older row")
   }
 
+  test("chunkedSessionize == plain window sessionization across chunk sizes") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val plain = e
+      .withColumn("gap",
+        $"ts".cast("double") - lag($"ts".cast("double"), 1).over(byUser))
+      .withColumn("is_new",
+        when($"gap".isNull || $"gap" > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"event_id", $"session_id")
+      .as[(Long, Long)].collect().toMap
+    // chunk smaller than the gap, comparable, and far larger — the
+    // stitch logic must be invisible at every granularity
+    for (chunkSec <- Seq(600L, 3600L, 6L * 3600L, 7L * 24L * 3600L)) {
+      val chunked = Skew.chunkedSessionize(e, "user_id", "ts", "event_id",
+          gapSec = 1800.0, chunkSec = chunkSec)
+        .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+      assert(chunked == plain, s"chunkSec=$chunkSec: ${
+        chunked.toSet.diff(plain.toSet).take(5)} vs ${
+        plain.toSet.diff(chunked.toSet).take(5)}")
+    }
+  }
+
+  test("chunkedSessionize: transitive stitch, empty chunks, boundary-equal gap") {
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
+    def at(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val df = Seq(
+      // user 1: one session of 13 events every 25 min — spans ~10
+      // half-hour chunks, every boundary must merge transitively
+      (0 until 13).map(i => (1L, 100L + i, at(25L * i))),
+      // user 2: burst, then a gap of EXACTLY 1800s (same session —
+      // strict >), then a gap of 1801s (new session) after several
+      // empty chunks
+      Seq((2L, 200L, at(0)), (2L, 201L, at(30)),
+        (2L, 202L, at(30 + 300)), // 300 min later: new session
+        (2L, 203L, at(30 + 300 + 30))), // exactly 1800s: same session
+      // user 3: a single event (singleton session)
+      Seq((3L, 300L, at(7)))
+    ).flatten.toDF("user_id", "event_id", "ts")
+    val out = Skew.chunkedSessionize(df, "user_id", "ts", "event_id",
+        gapSec = 1800.0, chunkSec = 1800L)
+      .select($"user_id", $"event_id", $"session_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    (0 until 13).foreach(i => assert(out((1L, 100L + i)) == 1L,
+      s"user 1 event $i should stay in session 1, got ${out((1L, 100L + i))}"))
+    assert(out((2L, 200L)) == 1L && out((2L, 201L)) == 1L)
+    assert(out((2L, 202L)) == 2L, "gap > 1800s must open a session")
+    assert(out((2L, 203L)) == 2L, "gap == 1800s must NOT open a session")
+    assert(out((3L, 300L)) == 1L)
+  }
+
+  test("q102 df cap: boilerplate shingles stop proposing pairs, sizes stay uncapped") {
+    import graft.operators.Dedup
+    // 6 docs sharing one boilerplate trigram (df=6 > cap) + 2 docs
+    // that are genuine near-dups through low-df shingles
+    val boiler = "this document is copyright protected all rights reserved"
+    val docs = (
+      (0 until 6).map(i => (i.toLong, s"$boiler unique$i wa$i wb$i wc$i wd$i we$i wf$i")) ++
+      Seq((10L, "alpha beta gamma delta epsilon zeta"),
+          (11L, "alpha beta gamma delta epsilon eta"))
+    ).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id",
+        n = 3, minJaccard = 0.1, maxDf = 5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id",
+        n = 3, minJaccard = 0.1, maxDf = 0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped.contains((10L, 11L)), "low-df near-dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 6 && b < 6 },
+      s"boilerplate-only pairs must be pruned by the cap: $capped")
+    assert(uncapped.exists { case (a, b) => a < 6 && b < 6 },
+      "without the cap the boilerplate trigram pairs the template docs")
+  }
+
   test("salted stats == direct stats (skewed key)") {
     val e = Tables.events(spark, sf)
     val direct = e.groupBy($"event_type".as("key"))
