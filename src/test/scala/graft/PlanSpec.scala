@@ -121,6 +121,46 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("l_shipdate"), pf)
   }
 
+  test("q106: chunking is a narrow explode — the only exchange is the output sort") {
+    val p = simple("q106_doc_chunks")
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(600))
+    assert(p.contains("rangepartitioning"), p.take(600))
+    val rs = formatted("q106_doc_chunks").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("lang") && !rs.contains("source"), rs)
+  }
+
+  test("q103/q108: packing and budget-sampling windows are partition-local " +
+    "(hash partition on the group key, never a single-partition sort)") {
+    Seq("q103_sequence_packing", "q108_token_budget_sample").foreach { q =>
+      val p = simple(q)
+      assert(p.contains("hashpartitioning"), s"$q: ${p.take(600)}")
+      assert(!p.contains("SinglePartition"), s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q104: quantization audit prunes the scan to (embedding, label) and " +
+    "plans partial+final aggregates") {
+    val rs = formatted("q104_embed_quantize").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("vec_id"), rs)
+    val p = simple("q104_embed_quantize")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(600))
+  }
+
+  test("q105/q109: overlap matrix and centroid geometry equi-join, no cartesian") {
+    Seq("q105_source_overlap", "q109_label_centroids").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q107: z-order audit plans partial (map-side) + final HashAggregate") {
+    val p = simple("q107_zorder_layout")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(600))
+  }
+
   test("q85/q87: funnel and outlier screens broadcast their small sides") {
     // q85: the benchmark shingle set rides a broadcast semi-join (q79's
     // shape); the corpus side is never shuffled by the contamination join
