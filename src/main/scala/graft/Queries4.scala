@@ -320,15 +320,10 @@ object Queries4 {
     import graft.functions.Text
     val docs = documents(s, d)
     val side = pmod(Text.md5Long(col("text")), lit(100L))
-    val cand = graft.operators.Dedup.lshLookup(
+    graft.operators.Dedup.lshVerifiedLookup(
       docs.filter(side < 50), docs.filter(side >= 50),
-      col("text"), col("doc_id"), n = 3, bands = 4, rowsPerBand = 2)
-    cand
-      .join(docs.select(col("doc_id").as("in_id"), col("text").as("in_text")), Seq("in_id"))
-      .join(docs.select(col("doc_id").as("ex_id"), col("text").as("ex_text")), Seq("ex_id"))
-      .select(col("in_id"), col("ex_id"),
-        levenshtein(col("in_text"), col("ex_text"), 30).as("dist"))
-      .filter(col("dist") >= 0)
+      col("text"), col("doc_id"), n = 3, bands = 4, rowsPerBand = 2,
+      maxDist = 30)
       .orderBy(col("in_id"), col("ex_id"))
   }
 

@@ -109,6 +109,23 @@ object Dedup {
       .select(col("in_id"), col("ex_id"))
       .distinct()
 
+  /** lshLookup + Levenshtein precision verify: the full incremental
+    * ingest dedup operator (LSH recall against the corpus, then the
+    * bounded edit-distance check on candidates only). Shared verbatim
+    * by batch q93 and the streaming foreachBatch twin
+    * (streaming.Streaming.incrementalDedup) so the two execution modes
+    * cannot drift. Output: (in_id, ex_id, dist) with dist <= maxDist.
+    */
+  def lshVerifiedLookup(existing: DataFrame, incoming: DataFrame,
+      text: Column, id: Column, n: Int, bands: Int, rowsPerBand: Int,
+      maxDist: Int): DataFrame =
+    lshLookup(existing, incoming, text, id, n, bands, rowsPerBand)
+      .join(incoming.select(id.as("in_id"), text.as("in_text")), Seq("in_id"))
+      .join(existing.select(id.as("ex_id"), text.as("ex_text")), Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"),
+        levenshtein(col("in_text"), col("ex_text"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, filtered at `minJaccard`.
     *

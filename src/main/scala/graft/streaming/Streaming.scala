@@ -94,6 +94,34 @@ object Streaming {
       }
       .start()
 
+  /** Streaming incremental ingest dedup — the daily-crawl path under
+    * Structured Streaming: each micro-batch of incoming documents is
+    * LSH-probed against the static corpus and Levenshtein-verified
+    * via Dedup.lshVerifiedLookup — the EXACT operator batch q93 runs,
+    * so the two execution modes cannot drift (differential in
+    * StreamingSpec). Each epoch's verified pairs land idempotently in
+    * their own `epoch=<id>` directory (the routeToSinks exactly-once
+    * convention): a replayed epoch overwrites itself.
+    *
+    * Scale: probe cost tracks the BATCH, not the corpus — the corpus
+    * banded table is an equi-join build side that a production
+    * deployment materializes bucketed by (band, bucket) once and
+    * reuses across days.
+    */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+      outPath: String, checkpoint: String,
+      maxDist: Int = 30): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.operators.Dedup.lshVerifiedLookup(corpus, batch,
+          col("text"), col("doc_id"), graft.LshStages.ShingleN,
+          graft.LshStages.Bands, graft.LshStages.RowsPerBand, maxDist)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- T4: keyed retry state ------------------------------------------
 
   case class Attempt(id: Long, ok: Boolean, payload: String, atMillis: Long)

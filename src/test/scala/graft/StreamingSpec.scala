@@ -174,6 +174,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.sameElements(batchIds))
   }
 
+  test("X1b differential: streamed foreachBatch incremental dedup == batch q93") {
+    // the daily-ingest dedup under Structured Streaming: incoming half
+    // of `documents` arrives as an AvailableNow file stream, each
+    // micro-batch LSH-probed + Levenshtein-verified against the static
+    // corpus half via the SAME Dedup.lshVerifiedLookup the batch query
+    // runs. sf0.01 (500 docs) so the expected pair set is non-empty.
+    val d = "/root/testdata/sf0.01"
+    val src = s"$d/documents.parquet"
+    // the file source needs a DIRECTORY; stage the single-file table
+    val dir = Files.createTempDirectory("graft_incdedup_in_")
+    Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("documents.parquet"))
+    val sch = spark.read.parquet(src).schema
+    val side = pmod(graft.functions.Text.md5Long(col("text")), lit(100L))
+    val corpus = Tables.documents(spark, d).filter(side < 50)
+    val stream = spark.readStream.schema(sch).parquet(dir.toString)
+      .filter(side >= 50)
+    val out = Files.createTempDirectory("graft_incdedup_out_").toString
+    val cp = Files.createTempDirectory("graft_incdedup_cp_").toString
+    val q = Streaming.incrementalDedup(stream, corpus, out, cp)
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select($"in_id", $"ex_id", $"dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Queries4.q93(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "batch q93 found no pairs at sf0.01")
+    assert(streamed == batch,
+      s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
