@@ -207,8 +207,148 @@ object Queries7 {
       .orderBy(col("user_id"))
   }
 
+  /** q110 — BLOOM-PREFILTERED DECONTAMINATION. q79's benchmark screen
+    * re-planned for the regime where even the DISTINCT benchmark
+    * shingle set is too big to broadcast exactly: build a fixed-size
+    * Bloom bitset (16 Kbit, 3 probes) over benchmark 7-gram hashes
+    * with one aggregate, broadcast the single-row bitset, prefilter
+    * the train side per-row, and run the exact verify join only on
+    * might-contain survivors. Bloom filters have NO false negatives,
+    * and the verify join removes the false positives — so the result
+    * is bit-identical to the exact inner join, which is what the
+    * oracle computes (the approximation is invisible in the answer,
+    * only in the shuffle volume).
+    *
+    * Scale: the bitset is O(1) regardless of corpus size (tune m/k to
+    * the benchmark cardinality; 100 TB would use ~1 Gbit, still one
+    * broadcast). The verify join is deliberately NOT broadcast-hinted:
+    * at scale it shuffles only the ~FP-rate fraction of train
+    * postings. All bit math is built-in codegen'd expressions.
+    */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val mBits = 1L << 14
+    val probes = 3
+    val h = documents(s, d)
+      .select(col("doc_id"),
+        pmod(Text.md5Long(col("text")), lit(100L)).as("b"),
+        explode(graft.functions.TextExpressions
+          .md5_shingle_hashes(col("text"), 7)).as("h"))
+      .distinct()
+    val bench = h.filter(col("b") >= 90).select(col("h").as("bh")).distinct()
+    def probeBit(c: org.apache.spark.sql.Column, j: Int) =
+      pmod(xxhash64(c, lit(j)), lit(mBits))
+    val bloomRow = bench
+      .select(explode(array((0 until probes).map(j =>
+        probeBit(col("bh"), j)): _*)).as("bit"))
+      .select(expr("CAST(bit DIV 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+          .as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("bloom"))
+    val train = (0 until probes).foldLeft(
+      h.filter(col("b") < 90).select(col("doc_id"), col("h"))
+        .crossJoin(broadcast(bloomRow))) { (df, j) =>
+      df.withColumn(s"bit$j", probeBit(col("h"), j))
+    }
+    val mightContain = (0 until probes).map(j =>
+      expr(s"(coalesce(try_element_at(bloom, CAST(bit$j DIV 64 AS INT)), " +
+        s"CAST(0 AS BIGINT)) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(bit$j % 64 AS INT))) != 0"))
+      .reduce(_ && _)
+    train.filter(mightContain)
+      .select(col("doc_id"), col("h"))
+      .join(bench, col("h") === col("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q112 — TRIANGLE COUNT on the near-dup candidate graph. Per-doc
+    * count of triangles (mutual near-dup triples) — the graph-quality
+    * audit that distinguishes tight dup clusters (triangle-dense) from
+    * chains of borderline pairs (triangle-free) before trusting
+    * cluster representatives.
+    *
+    * Scale: edges are oriented a<b, so each triangle is enumerated
+    * exactly once as (a<b<c) — two equi-joins of the edge list with
+    * itself, never a cartesian. The candidate edge set is orders of
+    * magnitude smaller than the corpus (it's the LSH output, shared
+    * via LshStages), and the joins shuffle on edge endpoints.
+    */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val e = LshStages.candidatePairs(s, d)
+    val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+    val e2 = e.select(col("a_id").as("b"), col("b_id").as("c"))
+    val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
+    e1.join(e2, Seq("b"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q113 — MINHASH ESTIMATOR CALIBRATION. For every LSH candidate
+    * pair: the minhash-estimated Jaccard (fraction of the 8 families
+    * agreeing) against the EXACT trigram Jaccard, plus the absolute
+    * error — the calibration report that justifies the banding
+    * thresholds the dedup family runs with.
+    *
+    * Scale: signatures and candidate pairs are the already-materialized
+    * LSH stages; the exact-Jaccard arm joins distinct (doc, shingle
+    * hash) postings to the (small) pair list on doc ids — at 100 TB
+    * this is the standard "verify candidates only" shape, never
+    * all-pairs.
+    */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val pairs = LshStages.candidatePairs(s, d)
+    val sig = operators.Dedup.minhashSignature(
+      documents(s, d), col("text"), col("doc_id"),
+      LshStages.ShingleN, LshStages.Bands * LshStages.RowsPerBand)
+    val k = LshStages.Bands * LshStages.RowsPerBand
+    val sa = sig.select(col("doc_id").as("a_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val est = pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        ((0 until k).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / lit(k.toDouble)).as("est"))
+    val hd = documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.TextExpressions
+        .md5_shingle_hashes(col("text"), LshStages.ShingleN)).as("h"))
+      .distinct()
+    val sz = hd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(hd.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(hd.select(col("doc_id").as("b_id"), col("h")),
+        Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("i"))
+    est.join(inter, Seq("a_id", "b_id"), "left")
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")),
+        Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("est"), 4).as("est_jaccard"),
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 4)
+          .as("exact_jaccard"),
+        round(abs(col("est") -
+          coalesce(col("i"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("i"), lit(0L)))), 4)
+          .as("abs_err"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_bloom_contamination" -> (q110 _),
     "q111_lag_autocorr" -> (q111 _),
+    "q112_graph_triangles" -> (q112 _),
+    "q113_minhash_calibration" -> (q113 _),
     "q114_importance_sample" -> (q114 _),
     "q115_csv_roundtrip" -> (q115 _),
     "q116_jsonl_roundtrip" -> (q116 _),
@@ -223,7 +363,66 @@ object Oracle7 {
   private def md5long(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
+  /** DuckDB mirror of Text.shingles(text, 7) (clamped-slice form,
+    * same as Oracle3's).
+    */
+  private val shingles7 =
+    "list_transform(range(1, greatest(len(toks)-6, 1) + 1), " +
+      "i -> array_to_string(toks[i:i+6], ' '))"
+
   val sql: Map[String, String] = Map(
+    // The Bloom prefilter is answer-invisible (no false negatives;
+    // the verify join removes false positives), so the oracle is the
+    // EXACT inner contamination join — a hash match proves the
+    // approximate path lost nothing.
+    "q110_bloom_contamination" ->
+      s"""WITH s AS (SELECT doc_id, ${md5long("text")} % 100 AS b,
+         |             string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, b, unnest($shingles7) AS sh FROM s),
+         |h AS (SELECT DISTINCT doc_id, b, ${md5long("sh")} AS h FROM g),
+         |bench AS (SELECT DISTINCT h FROM h WHERE b >= 90),
+         |tr AS (SELECT doc_id, h FROM h WHERE b < 90)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM tr t JOIN bench USING (h)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q112_graph_triangles" ->
+      s"""WITH ${OracleExt.lshPairCtes},
+         |tri AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+         |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q113_minhash_calibration" -> {
+      val estSum = (0 until 8).map(i =>
+        s"CAST(sa.s$i = sb.s$i AS INT)").mkString(" + ")
+      s"""WITH ${OracleExt.lshPairCtes},
+         |hd AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hs),
+         |sz AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY doc_id),
+         |inter AS (SELECT p.a_id, p.b_id, count(*) AS i
+         |  FROM pairs p
+         |  JOIN hd a ON a.doc_id = p.a_id
+         |  JOIN hd b ON b.doc_id = p.b_id AND b.h = a.h
+         |  GROUP BY p.a_id, p.b_id),
+         |est AS (SELECT p.a_id, p.b_id,
+         |    CAST($estSum AS DOUBLE) / 8.0 AS est
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.a_id
+         |  JOIN sig sb ON sb.doc_id = p.b_id)
+         |SELECT e.a_id, e.b_id, round(e.est, 4) AS est_jaccard,
+         |  round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (za.n + zb.n - COALESCE(i.i, 0)), 4) AS exact_jaccard,
+         |  round(abs(e.est - CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |    / (za.n + zb.n - COALESCE(i.i, 0))), 4) AS abs_err
+         |FROM est e
+         |LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+         |JOIN sz za ON za.doc_id = e.a_id
+         |JOIN sz zb ON zb.doc_id = e.b_id
+         |ORDER BY e.a_id, e.b_id""".stripMargin
+    },
+
     "q111_lag_autocorr" ->
       """WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
         |    CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*)

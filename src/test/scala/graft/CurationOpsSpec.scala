@@ -111,4 +111,38 @@ class CurationOpsSpec extends SparkSpec {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("q110 bloom prefilter is answer-invisible: equals the exact " +
+    "contamination join with no bloom in the plan") {
+    import graft.functions.{Text, TextExpressions}
+    val got = Queries7.q110(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the same screen with NO bloom: plain exact inner join
+    val h = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        pmod(Text.md5Long(col("text")), lit(100L)).as("b"),
+        explode(TextExpressions.md5_shingle_hashes(col("text"), 7)).as("h"))
+      .distinct()
+    val bench = h.filter(col("b") >= 90).select(col("h").as("bh")).distinct()
+    val exact = h.filter(col("b") < 90).select(col("doc_id"), col("h"))
+      .join(bench, col("h") === col("bh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact, s"bloom=${got.take(5)} exact=${exact.take(5)}")
+  }
+
+  test("q113 calibration: estimator error is bounded by the 8-family " +
+    "resolution on every candidate pair") {
+    val rows = Queries7.q113(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      // 8 families quantize the estimate to eighths
+      assert(math.abs(est * 8 - math.round(est * 8)) < 1e-9, est.toString)
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(ex >= 0.0 && ex <= 1.0)
+    }
+  }
 }

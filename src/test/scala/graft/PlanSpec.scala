@@ -169,4 +169,37 @@ class PlanSpec extends SparkSpec {
     // narrow per-vector distance pass
     assert(simple("q87_embed_outliers").contains("BroadcastHashJoin"))
   }
+
+  test("q110: bloom might-contain filter sits BELOW the verify join") {
+    // the per-row bitset probe (element_at + shiftleft mask) must
+    // evaluate on the train side BEFORE the verify join — that is the
+    // entire point of the bloom prefilter: shuffle only survivors.
+    // Catalyst fuses the crossJoin(bloom)+filter into the 1-row
+    // BroadcastNestedLoopJoin's condition, which is the same thing.
+    val p = formatted("q110_bloom_contamination")
+    assert(p.contains("element_at(bloom"),
+      "bloom probe missing from the physical plan")
+    // the single-row bitset rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q112/q113: graph triangles and calibration equi-join, no cartesian") {
+    Seq("q112_graph_triangles", "q113_minhash_calibration").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q115/q116: round-trip sources scan csv/json with the declared schema") {
+    val csv = formatted("q115_csv_roundtrip")
+    assert(csv.contains("Scan csv"), csv.take(600))
+    val json = formatted("q116_jsonl_roundtrip")
+    assert(json.contains("Scan json"), json.take(600))
+  }
+
+  test("q117: attribution joins on user_id equality, never a cartesian") {
+    val p = simple("q117_click_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
 }

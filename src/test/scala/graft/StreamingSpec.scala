@@ -174,6 +174,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.sameElements(batchIds))
   }
 
+  test("T6+ differential: watermarked stream-stream attribution join == batch q117 pairs") {
+    // the q117 view→click attribution join run as a stream-stream
+    // inner join (both sides watermarked, time-range condition bounds
+    // the state) over the SAME files as the batch form; the joined
+    // pair sets must be identical. Watermark is set far beyond the
+    // data span so no cross-batch arrival order can drop a legitimate
+    // pair — the differential isolates JOIN semantics, not lateness
+    // (lateness drop is T3's test).
+    val dir = Tables.eventsPath(spark, sf)
+    val sch = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(sch).parquet(dir)
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter($"event_type" === "view").select($"user_id", $"ts"),
+      df.filter($"event_type" === "click").select($"user_id", $"ts"))
+    val (sv, sc) = split(stream)
+    val joined = Streaming
+      .streamStreamJoin(sv, sc, "user_id", "ts", "ts", 3600,
+        watermark = "3650 days")
+      .filter($"r_ts" > $"ts") // q117's strict view-before-click
+      .select($"user_id", $"ts".as("vts"), $"r_ts".as("cts"))
+    val cp = Files.createTempDirectory("graft_ssjdiff_cp_").toString
+    val q = joined.writeStream.format("memory").queryName("ssjdiff")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out") finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val streamed = canon(spark.table("ssjdiff"))
+    val (bv, bc) = split(Tables.events(spark, sf))
+    val batch = canon(bv.join(
+        bc.select($"user_id".as("c_user"), $"ts".as("cts")),
+        $"user_id" === $"c_user" && $"ts" < $"cts" &&
+          $"cts" <= $"ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"ts".as("vts"), $"cts"))
+    assert(streamed.nonEmpty, "stream-stream join produced no pairs")
+    assert(streamed == batch,
+      s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
+  }
+
   test("X1b differential: streamed foreachBatch incremental dedup == batch q93") {
     // the daily-ingest dedup under Structured Streaming: incoming half
     // of `documents` arrives as an AvailableNow file stream, each
