@@ -14,12 +14,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesExt.all ++ Queries2.all ++ Queries3.all ++
-      Queries4.all ++ Queries5.all ++ Queries6.all ++ Queries7.all
+      Queries4.all ++ Queries5.all ++ Queries6.all ++ Queries7.all ++
+      Queries8.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Oracle.sql ++ OracleExt.sql ++ Oracle2.sql ++ Oracle3.sql ++
-      Oracle4.sql ++ Oracle5.sql ++ Oracle6.sql ++ Oracle7.sql
+      Oracle4.sql ++ Oracle5.sql ++ Oracle6.sql ++ Oracle7.sql ++
+      Oracle8.sql
 }

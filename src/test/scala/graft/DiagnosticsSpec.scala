@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Properties of the round-5 diagnostics/sketch batch (Queries8) that
+  * the DuckDB hash match can't express: the CMS one-sided error
+  * guarantee over the WHOLE vocabulary (the oracle only pins the
+  * top-20 rows), transition-matrix stochasticity, and winsorization
+  * bounds.
+  */
+class DiagnosticsSpec extends SparkSpec {
+
+  test("q123 CMS: estimates never undercount, for every token in the corpus") {
+    // rebuild the same depth-4 x 1024 sketch the query uses and probe
+    // EVERY token, not just the top-20 the declared query reports
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val cells = exact.select(col("tok"), col("n_exact"),
+      posexplode(array((0 until 4).map(j =>
+        pmod(Text.md5LongSeeded(col("tok"), j), lit(1024L))): _*))
+        .as(Seq("j", "cell")))
+    val sketch = cells.groupBy(col("j"), col("cell"))
+      .agg(sum(col("n_exact")).as("cnt"))
+    val under = cells.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .filter(col("n_est") < col("n_exact"))
+      .count()
+    assert(under === 0L, s"$under tokens undercounted — CMS invariant broken")
+  }
+
+  test("q119: transition matrix is row-stochastic and counts every transition") {
+    val rows = Queries8.q119(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getAs[String]("prev_type"))
+    byPrev.foreach { case (prev, rs) =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-2, s"$prev: p sums to $psum")
+    }
+    val totalTransitions = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    // each user contributes (its events - 1) transitions
+    assert(totalTransitions === nEvents - nUsers)
+  }
+
+  test("q121: winsorized mean lies inside [lo, hi] and clipping is minority") {
+    Queries8.q121(spark, sf).collect().foreach { r =>
+      val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+      val m = r.getAs[Double]("winsor_mean")
+      assert(lo <= m && m <= hi, s"mean $m outside [$lo,$hi]")
+      // p05/p95 clip by construction at most ~10% of the group
+      assert(r.getAs[Long]("n_clipped").toDouble <=
+        0.11 * r.getAs[Long]("n"))
+    }
+  }
+
+  test("q120: retention is a valid fraction and boilerplate hits are bounded") {
+    Queries8.q120(spark, sf).collect().foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= 20L)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("q118: shares are descending and sum to at most 1") {
+    val rows = Queries8.q118(spark, sf).collect()
+    assert(rows.length === 10)
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    assert(counts.sameElements(counts.sorted.reverse), "not descending")
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+  }
+}

@@ -202,4 +202,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(600))
   }
+
+  test("q118: heavy hitters top-k plans TakeOrdered; total rides a broadcast") {
+    val p = simple("q118_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // the 1-row total joins via broadcast (BNLJ on a single row), not
+    // a shuffle of the per-user aggregate
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q120/q121/q123: bounded dims (top-20 set, thresholds, sketch) broadcast") {
+    Seq("q120_boilerplate_retention", "q121_winsorized_agg",
+      "q123_cms_calibration").foreach { q =>
+      val p = simple(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q119/q122: sequence windows read only the needed columns") {
+    Seq("q119_markov_transitions", "q122_next_event_examples").foreach { q =>
+      val rs = formatted(q).linesIterator
+        .filter(_.contains("ReadSchema")).mkString
+      assert(rs.contains("event_type") && !rs.contains("props"),
+        s"$q: $rs")
+    }
+  }
 }
