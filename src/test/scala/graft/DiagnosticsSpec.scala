@@ -73,4 +73,39 @@ class DiagnosticsSpec extends SparkSpec {
     assert(counts.sameElements(counts.sorted.reverse), "not descending")
     assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
   }
+
+  test("q124: every cohort retains exactly 100% at offset 0") {
+    val rows = Queries9.q124(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Int]("offset") == 0)
+    assert(day0.nonEmpty)
+    day0.foreach(r => assert(r.getAs[Double]("retention") === 1.0,
+      s"cohort ${r.get(0)} day-0 retention ${r.get(3)}"))
+  }
+
+  test("q125: every emitted pair clears the 0.8 threshold") {
+    Queries9.q125(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
+  test("q128: merge keeps base+insert cardinality and bumps only change keys") {
+    val out = Queries9.q128(spark, sf)
+    val base = Tables.documents(spark, sf)
+    val nBase = base.count()
+    val nIns = base.filter(col("doc_id") % 100 === 0).count()
+    assert(out.count() === nBase + nIns)
+    val v2 = out.filter(col("version") === 2L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(v2.forall(id => id % 50 == 0 || id >= 1000000L))
+  }
+
+  test("q129: at most 3 rows per language, ranks contiguous from 1") {
+    val rows = Queries9.q129(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length <= 3, lang)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted
+        .sameElements(1 to rs.length), lang)
+    }
+  }
 }

@@ -228,4 +228,22 @@ class PlanSpec extends SparkSpec {
         s"$q: $rs")
     }
   }
+
+  test("q124/q125/q128: retention, prefix join, and merge never cartesian") {
+    Seq("q124_cohort_retention", "q125_prefix_similarity_join",
+      "q128_cdc_merge").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q126: top-10 paths plan TakeOrderedAndProject, not a global sort") {
+    assert(simple("q126_session_paths").contains("TakeOrderedAndProject"))
+  }
+
+  test("q129: group top-k scans only (lang, doc_id, n_chars) — text pruned") {
+    val rs = formatted("q129_group_topk").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("n_chars") && !rs.contains("text"), rs)
+  }
 }
