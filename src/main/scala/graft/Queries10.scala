@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-5 batch 5: graph ranking, retrieval scoring, and corpus
+  * geometry.
+  *
+  *  - q130 fixed-iteration PageRank over the near-dup candidate graph
+  *    (which documents anchor dup clusters) — iterative graph compute
+  *    as edge-keyed joins, the Pregel-without-Pregel shape.
+  *  - q131 BM25 relevance: score every doc against a deterministic
+  *    2-term query (the corpus' two heaviest tokens) — the retrieval
+  *    scoring kernel behind search-based curation.
+  *  - q132 chunk-duplication rate: which 50-token chunks recur across
+  *    docs, and what fraction of each doc is recycled — the
+  *    sub-document dedup audit (q106's chunks composed with X1's
+  *    fingerprint dedup).
+  *  - q133 per-dimension embedding statistics: mean/std/range for each
+  *    vector dimension — the whitening/normalization report run before
+  *    any ANN index build.
+  *
+  * Every query is DuckDB-oracled (Oracle10) under the §7.4
+  * conventions.
+  */
+object Queries10 {
+  import Tables._
+
+  private val Damping = 0.85
+
+  /** q130 — PAGERANK (2 fixed iterations, d = 0.85) on the undirected
+    * LSH candidate graph (LshStages, shared with q46/q62/q112).
+    * Every float accumulation (neighbor contributions) goes through
+    * DECIMAL(38,18) so partition order cannot flip a digit; the node
+    * count rides a 1-row broadcast, never a driver collect.
+    *
+    * Scale: each iteration is one edge-keyed equi-join + one aggregate
+    * on the destination key — the textbook distributed PageRank step.
+    * Fixed iteration count keeps the plan static (no driver-side
+    * convergence loop); the billion-edge path would persist `pr`
+    * between iterations exactly as LshStages persists the edge list.
+    */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 18)
+    val pairs = LshStages.candidatePairs(s, d)
+    // undirected: both orientations
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to 2) {
+      val contrib = edges
+        .join(deg, Seq("u"))
+        .join(pr.select(col("doc_id").as("u"), col("pr")), Seq("u"))
+        .groupBy(col("v").as("doc_id"))
+        .agg(sum((col("pr") / col("deg")).cast(dec)).cast("double")
+          .as("in_pr"))
+      pr = nodes.join(contrib, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("doc_id"),
+          (lit(1.0 - Damping) / col("n") +
+            lit(Damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("doc_id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** q131 — BM25 SCORING. Every document scored against the 2-term
+    * query formed by the corpus' two most frequent tokens (df desc,
+    * token tiebreak — deterministic, so both engines derive the SAME
+    * query). Standard Robertson idf = ln((N − df + 0.5)/(df + 0.5) + 1)
+    * and tf saturation with k1 = 1.2, b = 0.75. Top-20 by rounded
+    * score (4 dp), doc_id tiebreak.
+    *
+    * Scale: tf is a per-doc narrow aggregate; df/avglen/N are 2-row /
+    * 1-row broadcasts; the score is per-row math; top-20 is
+    * TakeOrdered. Exactly two summands per doc, so IEEE addition
+    * commutativity makes the double sum order-free.
+    */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len")).as("avg_len"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val query = df.orderBy(col("df").desc, col("tok")).limit(2)
+      .select(col("tok"), col("df"))
+    val tf = toks.join(broadcast(query.select(col("tok"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(query), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("len") / col("avg_len"))))
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val ChunkTokens = 50
+
+  /** q132 — CHUNK-DUPLICATION RATE. Fixed 50-token non-overlapping
+    * chunks, fingerprinted by md5; a chunk recurring in >1 document is
+    * "recycled". Per-doc report: chunks, recycled chunks, recycled
+    * fraction — the sub-document dedup audit that doc-level dedup
+    * (q15) cannot see.
+    *
+    * Scale: chunking is a narrow sequence/slice fan-out (q106's
+    * shape); the df side aggregates 16-byte fingerprints, never chunk
+    * text; the join back is fingerprint-keyed. At 100 TB the
+    * fingerprint table is the only shuffled payload.
+    */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val chunks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1) / ChunkTokens).cast("int")),
+          i => md5(array_join(
+            slice(col("toks"), i * ChunkTokens + 1, lit(ChunkTokens)), " "))))
+          .as("fp"))
+    val docsPerFp = chunks.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(docsPerFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_recycled"))
+      .select(col("doc_id"), col("n_chunks"), col("n_recycled"),
+        round(col("n_recycled").cast("double") / col("n_chunks"), 4)
+          .as("recycled_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q133 — PER-DIMENSION EMBEDDING STATISTICS. Mean, population std,
+    * min, max for every vector dimension — the whitening report that
+    * decides normalization before an ANN index build (and the input
+    * q50's PCA assumes centered). Moments via DECIMAL(38,18) partial
+    * sums (§7.4).
+    *
+    * Scale: posexplode is a narrow ×dim fan-out of a 2-column scan;
+    * one partial+final aggregate on the dimension key (bounded
+    * cardinality = vector width). Nothing per-row survives the
+    * aggregate.
+    */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 18)
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / col("n"), 4).as("mean"),
+        round(sqrt(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n"))), 4).as("std"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("dim"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_pagerank" -> (q130 _),
+    "q131_bm25_score" -> (q131 _),
+    "q132_chunk_dup_rate" -> (q132 _),
+    "q133_embed_dim_stats" -> (q133 _))
+}
+
+/** DuckDB mirrors of Queries10 — same formulas, same decimal paths,
+  * same rounding (§7.4).
+  */
+object Oracle10 {
+
+  val sql: Map[String, String] = Map(
+    "q130_pagerank" ->
+      s"""WITH ${OracleExt.lshPairCtes},
+         |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |pr0 AS (SELECT doc_id, 1.0 / nn.n AS pr FROM nodes, nn),
+         |c1 AS (SELECT e.v AS doc_id,
+         |    CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS in_pr
+         |  FROM e JOIN deg d USING (u) JOIN pr0 p ON p.doc_id = e.u
+         |  GROUP BY e.v),
+         |pr1 AS (SELECT n.doc_id,
+         |    0.15 / nn.n + 0.85 * COALESCE(c1.in_pr, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN c1 USING (doc_id), nn),
+         |c2 AS (SELECT e.v AS doc_id,
+         |    CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS in_pr
+         |  FROM e JOIN deg d USING (u) JOIN pr1 p ON p.doc_id = e.u
+         |  GROUP BY e.v),
+         |pr2 AS (SELECT n.doc_id,
+         |    0.15 / nn.n + 0.85 * COALESCE(c2.in_pr, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN c2 USING (doc_id), nn)
+         |SELECT doc_id, round(pr, 6) AS pagerank FROM pr2
+         |ORDER BY doc_id""".stripMargin,
+
+    "q131_bm25_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(len) AS avg_len FROM lens),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk
+        |    GROUP BY tok),
+        |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 2),
+        |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+        |  FROM tk t JOIN q USING (tok) GROUP BY t.doc_id, t.tok),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.len / s.avg_len))
+        |      AS term_score
+        |  FROM tf JOIN q USING (tok) JOIN lens l USING (doc_id), stats s)
+        |SELECT doc_id, round(SUM(term_score), 4) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q132_chunk_dup_rate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(toks[(i*50)+1:(i*50)+50], ' ')) AS fp
+        |  FROM t, LATERAL unnest(range(0,
+        |    ((len(toks) - 1) // 50) + 1)) AS r(i)),
+        |dpf AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM ch
+        |    GROUP BY fp)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recycled,
+        |  round(CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS recycled_frac
+        |FROM ch c JOIN dpf d USING (fp)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q133_embed_dim_stats" ->
+      """WITH x AS (SELECT r.i AS dim,
+        |    CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |    round(min(x), 4) AS min_x, round(max(x), 4) AS max_x
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n, round(sx / n, 4) AS mean,
+        |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS std,
+        |  min_x, max_x
+        |FROM m ORDER BY dim""".stripMargin)
+}

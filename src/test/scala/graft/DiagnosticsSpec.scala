@@ -108,4 +108,39 @@ class DiagnosticsSpec extends SparkSpec {
         .sameElements(1 to rs.length), lang)
     }
   }
+
+  test("q130: pagerank mass is conserved (sums to 1 on the dup graph)") {
+    // undirected graph => no dangling nodes => each iteration
+    // redistributes all mass; 2 iterations keep the total at 1
+    val total = Queries10.q130(spark, sf).collect()
+      .map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"pagerank mass $total")
+  }
+
+  test("q131: bm25 scores are positive and descending") {
+    val rows = Queries10.q131(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("q132: recycled chunks are a valid subset of each doc's chunks") {
+    Queries10.q132(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_recycled") <= r.getAs[Long]("n_chunks"))
+      val f = r.getAs[Double]("recycled_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q133: per-dimension stats are internally consistent") {
+    val rows = Queries10.q133(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("min_x"), r.getAs[Double]("max_x"))
+      val mean = r.getAs[Double]("mean")
+      assert(mn <= mean + 1e-4 && mean <= mx + 1e-4, r.toString)
+      assert(r.getAs[Double]("std") >= 0.0)
+    }
+  }
 }

@@ -246,4 +246,21 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("ReadSchema")).mkString
     assert(rs.contains("n_chars") && !rs.contains("text"), rs)
   }
+
+  test("q130/q132: pagerank and chunk-dup joins are equi-joins, no cartesian") {
+    Seq("q130_pagerank", "q132_chunk_dup_rate").foreach { q =>
+      val p = simple(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+    }
+  }
+
+  test("q131: bm25 top-20 plans TakeOrderedAndProject") {
+    assert(simple("q131_bm25_score").contains("TakeOrderedAndProject"))
+  }
+
+  test("q133: dimension stats scan reads only the embedding column") {
+    val rs = formatted("q133_embed_dim_stats").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("embedding") && !rs.contains("label"), rs)
+  }
 }
