@@ -177,11 +177,61 @@ object Queries10 {
       .orderBy(col("dim"))
   }
 
+  /** q134 — ROLLING ACTIVE USERS (DAU/WAU). Per day: distinct users
+    * that day and over the trailing 7 days — the engagement series
+    * every product dashboard leads with.
+    *
+    * Scale: the only per-event shuffle is the (day, user) distinct;
+    * the trailing window is a range join against the DAY dimension
+    * (bounded: 365 rows/year — broadcast), then a distinct count per
+    * day. Never a self-join of raw events.
+    */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val au = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = au.select(col("day")).distinct()
+      .select(col("day").as("w_day"))
+    val wau = broadcast(days)
+      .join(au, col("day").between(date_sub(col("w_day"), 6), col("w_day")))
+      .groupBy(col("w_day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    au.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(wau, col("day") === col("w_day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** q135 — INVERTED-INDEX POSTING LISTS. The 10 rarest shared tokens
+    * (df ≥ 2, ordered df asc then token) with their full sorted
+    * posting lists — the index-build step behind q79/q110-style exact
+    * membership joins, serialized as a comma-joined string so the
+    * artifact is engine-neutral.
+    *
+    * Scale: postings are per-token aggregates of doc ids (never text);
+    * in-row array_sort makes collect_list order-free; df-bounded
+    * selection keeps list length tiny here (a production index shards
+    * long lists by posting-block, same aggregate shape).
+    */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val post = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    post.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df"), col("tok"))
+      .limit(10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_pagerank" -> (q130 _),
     "q131_bm25_score" -> (q131 _),
     "q132_chunk_dup_rate" -> (q132 _),
-    "q133_embed_dim_stats" -> (q133 _))
+    "q133_embed_dim_stats" -> (q133 _),
+    "q134_rolling_active_users" -> (q134 _),
+    "q135_posting_lists" -> (q135 _))
 }
 
 /** DuckDB mirrors of Queries10 — same formulas, same decimal paths,
@@ -268,5 +318,28 @@ object Oracle10 {
         |SELECT dim, n, round(sx / n, 4) AS mean,
         |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS std,
         |  min_x, max_x
-        |FROM m ORDER BY dim""".stripMargin)
+        |FROM m ORDER BY dim""".stripMargin,
+
+    "q134_rolling_active_users" ->
+      """WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |    FROM events),
+        |days AS (SELECT DISTINCT day AS w_day FROM au),
+        |wau AS (SELECT d.w_day, count(DISTINCT a.user_id) AS wau
+        |  FROM days d JOIN au a
+        |    ON a.day BETWEEN d.w_day - 6 AND d.w_day
+        |  GROUP BY d.w_day),
+        |dau AS (SELECT day, count(*) AS dau FROM au GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.w_day
+        |ORDER BY dau.day""".stripMargin,
+
+    "q135_posting_lists" ->
+      """WITH post AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |l AS (SELECT tok, count(*) AS df,
+        |    array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |  FROM post GROUP BY tok)
+        |SELECT tok, df, postings FROM l WHERE df >= 2
+        |ORDER BY df, tok LIMIT 10""".stripMargin)
 }

@@ -122,6 +122,47 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC MERGE-UPSERT under streaming (batch twin: Queries9.q128).
+    * Each micro-batch of change rows (doc_id, text, version) merges
+    * latest-version-wins into the corpus state: epoch N reads the
+    * previous epoch's state (or the base corpus for the first), unions
+    * the batch, keeps row_number()=1 per key by version desc, and
+    * writes the full new state to its own `epoch=<id>` directory — a
+    * replayed epoch re-reads the same input state and overwrites
+    * itself, so the sink stays exactly-once (the routeToSinks
+    * convention). Sequential per-batch merging reaches the SAME state
+    * as one all-at-once merge because latest-version-wins is
+    * associative — proved against q128 in StreamingSpec.
+    *
+    * Scale: this is the Delta/Iceberg MERGE loop without the table
+    * format: one shuffle on the merge key per batch. A production
+    * deployment replaces full-state rewrite with partition-pruned
+    * rewrite (only key ranges present in the batch), same plan shape.
+    */
+  def cdcMergeUpsert(incoming: DataFrame, base: DataFrame,
+      statePath: String, checkpoint: String): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        val fs = new java.io.File(statePath)
+        val prior = Option(fs.listFiles())
+          .map(_.toSeq.filter(_.getName.startsWith("epoch="))
+            .map(_.getName.stripPrefix("epoch=").toLong)
+            .filter(_ < epoch))
+          .filter(_.nonEmpty)
+          .map(es => s.read.parquet(s"$statePath/epoch=${es.max}"))
+          .getOrElse(base)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("version").desc)
+        prior.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$statePath/epoch=$epoch")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- T4: keyed retry state ------------------------------------------
 
   case class Attempt(id: Long, ok: Boolean, payload: String, atMillis: Long)

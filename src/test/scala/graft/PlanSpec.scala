@@ -263,4 +263,14 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("ReadSchema")).mkString
     assert(rs.contains("embedding") && !rs.contains("label"), rs)
   }
+
+  test("q134: the trailing-window join broadcasts the day dimension") {
+    val p = simple("q134_rolling_active_users")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q135: posting-list selection plans TakeOrderedAndProject") {
+    assert(simple("q135_posting_lists").contains("TakeOrderedAndProject"))
+  }
 }

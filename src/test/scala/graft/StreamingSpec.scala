@@ -247,6 +247,49 @@ class StreamingSpec extends SparkSpec {
       s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
   }
 
+  test("X38 differential: streamed foreachBatch CDC merge == batch q128") {
+    // q128's derived change batch (updates for doc_id%50==0, inserts
+    // past the corpus) arrives as an AvailableNow file stream in TWO
+    // files (maxFilesPerTrigger=1 → two epochs), merged sequentially
+    // into the base corpus; the final epoch state must equal the
+    // all-at-once batch merge — latest-version-wins associativity
+    // under real micro-batch execution.
+    val d = "/root/testdata/sf0.01"
+    val base = Tables.documents(spark, d)
+      .select($"doc_id", $"text", lit(1L).as("version"))
+    val updates = Tables.documents(spark, d)
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", concat(lit("v2 "), $"text").as("text"),
+        lit(2L).as("version"))
+    val inserts = Tables.documents(spark, d)
+      .filter($"doc_id" % 100 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("new "), $"text").as("text"), lit(2L).as("version"))
+    val inDir = Files.createTempDirectory("graft_cdc_in_")
+    updates.coalesce(1).write.parquet(inDir.resolve("f1").toString)
+    inserts.coalesce(1).write.parquet(inDir.resolve("f2").toString)
+    val sch = updates.schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir.toString)
+    val statePath = Files.createTempDirectory("graft_cdc_state_").toString
+    val cp = Files.createTempDirectory("graft_cdc_cp_").toString
+    val q = Streaming.cdcMergeUpsert(stream, base, statePath, cp)
+    try assert(q.awaitTermination(120000), "AvailableNow drain timed out")
+    finally q.stop()
+    val epochs = new java.io.File(statePath).listFiles()
+      .map(_.getName.stripPrefix("epoch=").toLong)
+    assert(epochs.length >= 2, s"expected >=2 epochs, got ${epochs.toSeq}")
+    val streamed = spark.read.parquet(s"$statePath/epoch=${epochs.max}")
+      .select($"doc_id", $"version", md5($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Queries9.q128(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch,
+      s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
