@@ -167,10 +167,12 @@ object Queries10 {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec)).cast("double").as("sx"),
         sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
-        round(min(col("x")), 4).as("min_x"),
-        round(max(col("x")), 4).as("max_x"))
+        // + 0.0 canonicalizes IEEE -0.0 (q66 convention: DuckDB round()
+        // preserves the sign, Spark's does not — bit at sf0.1 dim 9)
+        (round(min(col("x")), 4) + lit(0.0)).as("min_x"),
+        (round(max(col("x")), 4) + lit(0.0)).as("max_x"))
       .select(col("dim"), col("n"),
-        round(col("sx") / col("n"), 4).as("mean"),
+        (round(col("sx") / col("n"), 4) + lit(0.0)).as("mean"),
         round(sqrt(col("sxx") / col("n") -
           (col("sx") / col("n")) * (col("sx") / col("n"))), 4).as("std"),
         col("min_x"), col("max_x"))
@@ -313,9 +315,10 @@ object Oracle10 {
         |m AS (SELECT dim, count(*) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-        |    round(min(x), 4) AS min_x, round(max(x), 4) AS max_x
+        |    round(min(x), 4) + 0.0 AS min_x,
+        |    round(max(x), 4) + 0.0 AS max_x
         |  FROM x GROUP BY dim)
-        |SELECT dim, n, round(sx / n, 4) AS mean,
+        |SELECT dim, n, round(sx / n, 4) + 0.0 AS mean,
         |  round(sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS std,
         |  min_x, max_x
         |FROM m ORDER BY dim""".stripMargin,
