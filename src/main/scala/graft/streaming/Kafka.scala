@@ -75,7 +75,7 @@ object Kafka {
   def toEnvelope(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Sink options. Spark's Kafka sink is AT-LEAST-ONCE by design — it
     * never drives the producer transaction API (no initTransactions /

@@ -65,7 +65,7 @@ object Streaming {
     */
   def dlqRecord(df: DataFrame, errorCount: Int = 1): DataFrame =
     df.select(
-      to_json(struct(df.columns.map(col): _*)).as("original_message"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("original_message"),
       lit(errorCount).as("error_count"),
       current_timestamp().as("last_error_time"))
 
