@@ -89,19 +89,25 @@ object Queries9 {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefix = sized.filter(
       col("pos") <= col("n") - ceil(lit(PpjoinT) * col("n")) + 1)
-    val cand = prefix.select(col("doc_id").as("a_id"), col("tok"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("tok")), Seq("tok"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val sz = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
+    // length filter (the AllPairs second pruning rule): J ≥ t implies
+    // t·|a| ≤ |b| and t·|b| ≤ |a| (since i ≤ min(na,nb)), so unequal
+    // sizes can be pruned at candidate time. EXACT integer arithmetic
+    // (t = 0.8 = 4/5 → 5·nb ≥ 4·na) — a double 0.8·n is ABOVE the true
+    // product for some n and would drop boundary pairs.
+    val cand = prefix.select(col("doc_id").as("a_id"), col("tok"),
+        col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("tok"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("a_id") < col("b_id") &&
+        col("nb") * 5 >= col("na") * 4 && col("na") * 5 >= col("nb") * 4)
+      // sizes ride along so the verify stage needs no size re-join
+      .select(col("a_id"), col("b_id"), col("na"), col("nb")).distinct()
+    cand
       .join(post.select(col("doc_id").as("a_id"), col("tok")), Seq("a_id"))
       .join(post.select(col("doc_id").as("b_id"), col("tok")),
         Seq("b_id", "tok"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
       .select(col("a_id"), col("b_id"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
           .as("jaccard"))
