@@ -133,6 +133,23 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("q136: the synthetic warehouse is FK-consistent (zero orphans)") {
+    Queries11.q136(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_child") > 0, r.toString)
+      assert(r.getAs[Long]("n_orphans") === 0L,
+        s"${r.getAs[String]("relation")} has orphans")
+    }
+  }
+
+  test("q138: disorder quantiles are ordered and the drop count bounded") {
+    Queries11.q138(spark, sf).collect().foreach { r =>
+      val (p50, p95, mx) = (r.getAs[Double]("p50_s"),
+        r.getAs[Double]("p95_s"), r.getAs[Double]("max_s"))
+      assert(p50 <= p95 && p95 <= mx, r.toString)
+      assert(r.getAs[Long]("n_past_watermark") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("q133: per-dimension stats are internally consistent") {
     val rows = Queries10.q133(spark, sf).collect()
     assert(rows.nonEmpty)

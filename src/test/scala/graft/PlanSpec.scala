@@ -273,4 +273,18 @@ class PlanSpec extends SparkSpec {
   test("q135: posting-list selection plans TakeOrderedAndProject") {
     assert(simple("q135_posting_lists").contains("TakeOrderedAndProject"))
   }
+
+  test("q136: FK audit joins broadcast the dim parents, never cartesian") {
+    val p = simple("q136_fk_integrity")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q137/q138: merge and disorder audits scan only the needed columns") {
+    Seq("q137_incremental_merge", "q138_out_of_order").foreach { q =>
+      val rs = formatted(q).linesIterator
+        .filter(_.contains("ReadSchema")).mkString
+      assert(!rs.contains("props"), s"$q: $rs")
+    }
+  }
 }
