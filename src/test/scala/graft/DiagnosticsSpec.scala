@@ -150,6 +150,33 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("q139: pair features are valid fractions and distances") {
+    val rows = Queries12.q139(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lr = r.getAs[Double]("len_ratio")
+      assert(lr > 0.0 && lr <= 1.0, r.toString)
+      val ls = r.getAs[Double]("lev_sim")
+      assert(ls >= 0.0 && ls <= 1.0, r.toString)
+      assert(r.getAs[Int]("lev_dist") >= 0)
+    }
+  }
+
+  test("q140: KL divergence is non-negative (Gibbs) for every source") {
+    Queries12.q140(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("kl_divergence") >= -1e-9, r.toString)
+    }
+  }
+
+  test("q141: zipf fit covers min(100, vocab) tokens with a negative slope") {
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val r = Queries12.q141(spark, sf).collect().head
+    assert(r.getAs[Long]("n_tokens") === math.min(100L, vocab))
+    assert(r.getAs[Double]("zipf_slope") < 0.0, r.toString)
+  }
+
   test("q133: per-dimension stats are internally consistent") {
     val rows = Queries10.q133(spark, sf).collect()
     assert(rows.nonEmpty)

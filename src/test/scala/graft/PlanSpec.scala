@@ -287,4 +287,15 @@ class PlanSpec extends SparkSpec {
       assert(!rs.contains("props"), s"$q: $rs")
     }
   }
+
+  test("q139/q140: pair features and drift monitor equi-join, dims broadcast") {
+    val p139 = simple("q139_pair_features")
+    assert(!p139.contains("CartesianProduct"), p139.take(600))
+    val p140 = simple("q140_source_drift")
+    assert(p140.contains("BroadcastHashJoin"), p140.take(600))
+  }
+
+  test("q141: token census top-100 plans TakeOrderedAndProject") {
+    assert(simple("q141_zipf_slope").contains("TakeOrderedAndProject"))
+  }
 }
