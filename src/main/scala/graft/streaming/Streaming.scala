@@ -171,6 +171,35 @@ object Streaming {
   case class Routed(id: Long, route: String, error_count: Int,
       last_error_millis: Long, payload: String)
 
+  /** The per-key retry fold both T4 implementations run — ONE body so
+    * the legacy (flatMapGroupsWithState) and modern (transformWithState)
+    * state APIs cannot drift. Attempts are folded in EVENT order within
+    * each batch (the iterator arrives in shuffle order, so we sort); a
+    * terminal event closes the current cycle and later attempts start a
+    * fresh one. Cross-batch reordering (an attempt older than an
+    * already-processed terminal event arriving in a later batch) starts
+    * a new cycle — full event-time reconciliation would require
+    * buffering attempts until a watermark.
+    */
+  private[streaming] def foldAttempts(id: Long, attempts: Seq[Attempt],
+      retries0: Int): (Seq[Routed], Int) = {
+    var retries = retries0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
+    attempts.sortBy(_.atMillis).foreach { a =>
+      if (a.ok) {
+        out += Routed(id, "processed", retries, a.atMillis, a.payload)
+        retries = 0
+      } else {
+        retries += 1
+        if (retries >= MaxRetries) {
+          out += Routed(id, "dlq", retries, a.atMillis, a.payload)
+          retries = 0
+        }
+      }
+    }
+    (out.toSeq, retries)
+  }
+
   /** Per-id retry loop replacing the reference's Redis processing-state
     * hash + retry topic (README.md:280-289, 372-391): failures
     * accumulate per key; after MaxRetries total failures the record is
@@ -184,30 +213,45 @@ object Streaming {
       .flatMapGroupsWithState[RetryState, Routed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, attempts: Iterator[Attempt], state: GroupState[RetryState]) =>
-          // attempts are folded in EVENT order within each batch (the
-          // iterator arrives in shuffle order, so we sort); a terminal
-          // event closes the current cycle and later attempts start a
-          // fresh one. Cross-batch reordering (an attempt older than
-          // an already-processed terminal event arriving in a later
-          // batch) starts a new cycle — full event-time reconciliation
-          // would require buffering attempts until a watermark.
-          var retries = state.getOption.map(_.retries).getOrElse(0)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
-          attempts.toSeq.sortBy(_.atMillis).foreach { a =>
-            if (a.ok) {
-              out += Routed(id, "processed", retries, a.atMillis, a.payload)
-              retries = 0
-            } else {
-              retries += 1
-              if (retries >= MaxRetries) {
-                out += Routed(id, "dlq", retries, a.atMillis, a.payload)
-                retries = 0
-              }
-            }
-          }
+          val (out, retries) = foldAttempts(id, attempts.toSeq,
+            state.getOption.map(_.retries).getOrElse(0))
           if (retries > 0) state.update(RetryState(retries)) else state.remove()
           out.iterator
       }
+  }
+
+  /** The SAME retry state machine on Spark 4's transformWithState —
+    * the arbitrary-state API that replaces flatMapGroupsWithState
+    * (per-state-variable storage, TTL support, RocksDB-backed).
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. Output proved identical to
+    * [[retryRoute]] in StreamingSpec (shared [[foldAttempts]] body +
+    * a same-input differential).
+    */
+  class RetryStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Attempt, Routed] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var retries: ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      retries = getHandle.getValueState[Int]("retries",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(id: Long, rows: Iterator[Attempt],
+        timerValues: TimerValues): Iterator[Routed] = {
+      val (out, r) = foldAttempts(id, rows.toSeq,
+        if (retries.exists()) retries.get() else 0)
+      if (r > 0) retries.update(r) else retries.clear()
+      out.iterator
+    }
+  }
+
+  def retryRouteTws(ds: Dataset[Attempt])(
+      implicit spark: SparkSession): Dataset[Routed] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.id)
+      .transformWithState(new RetryStateProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ---- T4b: timeout-closed sessions (custom state machine) -------------

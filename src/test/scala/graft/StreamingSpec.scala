@@ -290,6 +290,44 @@ class StreamingSpec extends SparkSpec {
       s"stream\\batch=${(streamed -- batch).take(3)}, batch\\stream=${(batch -- streamed).take(3)}")
   }
 
+  test("T4 differential: transformWithState retry == flatMapGroupsWithState") {
+    // the SAME two-batch attempt script through both state APIs; the
+    // modern transformWithState path (RocksDB-backed, Spark 4) must
+    // route identically to the legacy flatMapGroupsWithState path
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          topo: org.apache.spark.sql.Dataset[Attempt] => org.apache.spark.sql.Dataset[Routed]): Set[Routed] = {
+        val in = MemoryStream[Attempt](spark)
+        val q = topo(in.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          (1 to 4).foreach { i => in.addData(Attempt(1, ok = false, "p1", i)) }
+          in.addData(Attempt(2, ok = false, "p2", 1))
+          q.processAllAvailable()
+          in.addData(Attempt(1, ok = false, "p1", 5))
+          in.addData(Attempt(2, ok = false, "p2", 2))
+          in.addData(Attempt(2, ok = true, "p2", 3))
+          q.processAllAvailable()
+          spark.table(name).as[Routed].collect().toSet
+        } finally q.stop()
+      }
+      val legacy = run("t4legacy", ds => Streaming.retryRoute(ds))
+      val modern = run("t4modern", ds => Streaming.retryRouteTws(ds))
+      assert(legacy.nonEmpty)
+      assert(modern == legacy,
+        s"tws\\legacy=${modern -- legacy}, legacy\\tws=${legacy -- modern}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("T4/T8: retry state routes to DLQ after MaxRetries, success clears") {
     val in = MemoryStream[Attempt](spark)
     val q = Streaming.retryRoute(in.toDS())
