@@ -57,6 +57,39 @@ class AnnRecallSpec extends SparkSpec {
       "the trade-off measurement is vacuous")
   }
 
+  test("int8 quantization (q104's scheme) preserves brute-force recall@10 >= 0.9") {
+    // the 4x-compression lever must not silently rot neighbor quality:
+    // quantize per-vector max-abs int8 (EXACTLY q104's scheme), run the
+    // same bruteForceTopK on the dequantized vectors, and MEASURE
+    // recall against float ground truth. Weakly-clustered sf
+    // embeddings (top-10 cosines ~0.3) are the adversarial case —
+    // neighbor gaps are thin, so quantization noise shows up here
+    // first if it ever does.
+    val emb = Tables.embeddings(spark, sf001)
+    val quant = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mx", aggregate($"v", lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .filter($"mx" > 0)
+      .withColumn("qscale", $"mx" / lit(127.0))
+      .select($"vec_id",
+        transform($"v", x =>
+          (floor(x / $"qscale" + lit(0.5)) * $"qscale").cast("float"))
+          .as("embedding"))
+    val recalls = probeIds.map { pid =>
+      val probeF = emb.filter($"vec_id" === pid).select($"embedding".as("probe_emb"))
+      val probeQ = quant.filter($"vec_id" === pid).select($"embedding".as("probe_emb"))
+      val exact = topIds(Ann.bruteForceTopK(
+        emb.filter($"vec_id" =!= pid), "vec_id", "embedding", probeF, k))
+      val q = topIds(Ann.bruteForceTopK(
+        quant.filter($"vec_id" =!= pid), "vec_id", "embedding", probeQ, k))
+      (q & exact).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8-vs-float mean recall@10 = $mean%.2f over ${probeIds.size} probes")
+    assert(mean >= 0.9, s"int8 quantization recall@10 $mean < 0.9: $recalls")
+  }
+
   test("IVF: recall@10 grows with nProbe; full probing is exact") {
     val emb = Tables.embeddings(spark, sf001)
     val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
