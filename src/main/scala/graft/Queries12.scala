@@ -129,10 +129,29 @@ object Queries12 {
           col("sx")) / col("n_tokens"), 4).as("intercept"))
   }
 
+  /** q142 — VARIANT EXTRACTION (Spark 4 semi-structured type). The
+    * q03 JSONPath extraction re-expressed through parse_json →
+    * VARIANT → variant_get: the open-schema ingestion path where the
+    * payload shape is not declared up front (S8/S9's modern form).
+    * The oracle is the plain JSON-path SQL, so the hash match proves
+    * the variant encode/decode round-trip is lossless for the
+    * extracted field.
+    *
+    * Scale: VARIANT parses once into a binary encoding; repeated
+    * extractions skip re-parsing the JSON text (the reason the type
+    * exists). Per-row math, no shuffles of its own.
+    */
+  def q142(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"))
+      .orderBy(col("event_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_pair_features" -> (q139 _),
     "q140_source_drift" -> (q140 _),
-    "q141_zipf_slope" -> (q141 _))
+    "q141_zipf_slope" -> (q141 _),
+    "q142_variant_extract" -> (q142 _))
 }
 
 /** DuckDB mirrors of Queries12 — same formulas, same decimal paths,
@@ -193,5 +212,12 @@ object Oracle12 {
         |  round((sy - ((n_tokens * sxy - sx * sy) /
         |    (n_tokens * sxx - sx * sx)) * sx) / n_tokens, 4)
         |    AS intercept
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // the plain JSON-path form — hash-matching the VARIANT plan proves
+    // the binary variant round-trip is lossless for the field
+    "q142_variant_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -298,4 +298,10 @@ class PlanSpec extends SparkSpec {
   test("q141: token census top-100 plans TakeOrderedAndProject") {
     assert(simple("q141_zipf_slope").contains("TakeOrderedAndProject"))
   }
+
+  test("q142: variant extraction scans only (event_id, event_type, props)") {
+    val rs = formatted("q142_variant_extract").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("props") && !rs.contains("value") && !rs.contains("user_id"), rs)
+  }
 }
