@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   *  - q133 per-dimension embedding statistics: mean/std/range for each
   *    vector dimension — the whitening/normalization report run before
   *    any ANN index build.
+  *  - q134 rolling 7-day active users: sliding count-distinct per day
+  *    via the day×day range self-expansion (X44).
+  *  - q135 token posting lists: capped inverted-index materialization
+  *    with per-token df and positions (X45).
   *
   * Every query is DuckDB-oracled (Oracle10) under the §7.4
   * conventions.
@@ -30,19 +34,25 @@ object Queries10 {
 
   private val Damping = 0.85
 
-  /** q130 — PAGERANK (2 fixed iterations, d = 0.85) on the undirected
-    * LSH candidate graph (LshStages, shared with q46/q62/q112).
-    * Every float accumulation (neighbor contributions) goes through
-    * DECIMAL(38,18) so partition order cannot flip a digit; the node
-    * count rides a 1-row broadcast, never a driver collect.
+  /** q130 — PAGERANK (parameterized iterations, d = 0.85; the declared
+    * query keeps 2) on the undirected LSH candidate graph (LshStages,
+    * shared with q46/q62/q112). Every float accumulation (neighbor
+    * contributions) goes through DECIMAL(38,18) so partition order
+    * cannot flip a digit; the node count rides a 1-row broadcast,
+    * never a driver collect.
     *
     * Scale: each iteration is one edge-keyed equi-join + one aggregate
     * on the destination key — the textbook distributed PageRank step.
-    * Fixed iteration count keeps the plan static (no driver-side
-    * convergence loop); the billion-edge path would persist `pr`
-    * between iterations exactly as LshStages persists the edge list.
+    * `pr` is localCheckpoint-ed between iterations (the StarCC
+    * convention, Dedup.connectedComponentsStar) so round N+1's plan
+    * starts from round N's MATERIALIZED ranks instead of re-nesting —
+    * and therefore re-executing — every earlier round's join tree;
+    * DiagnosticsSpec asserts the declared plan carries no join at all
+    * (the final checkpoint IS the scan). Without it the plan depth —
+    * and the recomputation — grows with the iteration count, which is
+    * exactly what kills a 20-iteration billion-edge run.
     */
-  def q130(s: SparkSession, d: String): DataFrame = {
+  def pagerank(s: SparkSession, d: String, iterations: Int): DataFrame = {
     val dec = DecimalType(38, 18)
     val pairs = LshStages.candidatePairs(s, d)
     // undirected: both orientations
@@ -53,7 +63,8 @@ object Queries10 {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     var pr = nodes.crossJoin(broadcast(nRow))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to 2) {
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
       val contrib = edges
         .join(deg, Seq("u"))
         .join(pr.select(col("doc_id").as("u"), col("pr")), Seq("u"))
@@ -65,10 +76,13 @@ object Queries10 {
         .select(col("doc_id"),
           (lit(1.0 - Damping) / col("n") +
             lit(Damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     pr.select(col("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy(col("doc_id"))
   }
+
+  def q130(s: SparkSession, d: String): DataFrame = pagerank(s, d, 2)
 
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75

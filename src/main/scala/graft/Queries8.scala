@@ -155,7 +155,12 @@ object Queries8 {
         lag(col("event_type"), 1).over(w).as("c3"))
       .filter(col("c1").isNotNull)
       .select(col("user_id"), col("event_id"),
-        concat_ws(" ", col("c1"), col("c2"), col("c3")).as("context"),
+        // concat (NOT concat_ws): NULL-propagating exactly like the
+        // oracle's `||`, so a NULL event_type in the context window
+        // yields NULL on both engines instead of silently shrinking
+        // the Spark-side context string
+        concat(col("c1"), lit(" "), col("c2"), lit(" "), col("c3"))
+          .as("context"),
         col("event_type").as("label"))
       .orderBy(col("user_id"), col("event_id"))
   }

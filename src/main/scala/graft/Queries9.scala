@@ -146,7 +146,12 @@ object Queries9 {
       .groupBy(col("user_id"), col("session_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rn"), col("event_type")))),
-        x => x.getField("event_type")), ">").as("path"))
+        // coalesce (mirrored in the oracle): array_join SKIPS null
+        // elements while string_agg DROPS null rows — agreeing on most
+        // inputs but diverging when every slot is null ("" vs NULL);
+        // the shared sentinel removes the asymmetry entirely
+        x => coalesce(x.getField("event_type"), lit("∅"))), ">")
+        .as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(10)
@@ -302,7 +307,7 @@ object Oracle9 {
         |      ORDER BY us, event_id) AS rn
         |  FROM y),
         |p AS (SELECT user_id, session_id,
-        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |    string_agg(coalesce(event_type, '∅'), '>' ORDER BY rn) AS path
         |  FROM z WHERE rn <= 5 GROUP BY user_id, session_id)
         |SELECT path, count(*) AS n_sessions FROM p
         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,

@@ -73,15 +73,29 @@ object Dedup {
             col(s"s${b * rowsPerBand + r}")): _*)
         }: _*)).as(Seq("band", "bucket")))
 
+  /** `maxBucket > 0` drops any band bucket holding more than that many
+    * docs BEFORE pair generation — the same quadratic-bound move as
+    * ngramPairStats' `maxDf` (a boilerplate mega-cluster whose docs
+    * share a band signature would otherwise emit O(k²) pairs from one
+    * task). A dropped bucket only loses pairs that other, sparser
+    * bands still propose unless the docs are near-identical across ALL
+    * bands — exactly the mega-cluster case the cap exists to bound.
+    * The oracle-checked capped form is q143; `lshBucketProfile` below
+    * measures what a given cap would drop. 0 = uncapped (the exact
+    * forms q46/q62/... keep it off).
+    */
   def lshCandidates(df: DataFrame, text: Column, id: Column,
-      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
     val banded = bandedSignatures(df, text, id, n, bands, rowsPerBand, "doc_id")
     // bucket-collect instead of a self-join: the signature pipeline
     // runs ONCE, one shuffle on (band,bucket), pairs generated inside
-    // each bucket (same shape as ngramJaccardPairs)
-    banded.groupBy(col("band"), col("bucket"))
+    // each bucket (same shape as ngramPairStats)
+    val buckets0 = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
+    val buckets = if (maxBucket > 0) buckets0.filter(size(col("ds")) <= maxBucket)
+      else buckets0
+    buckets
       .select(explode(flatten(
         transform(col("ds"), (a, i) =>
           transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
@@ -90,6 +104,25 @@ object Dedup {
       .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
+
+  /** Per-band bucket-population profile of the LSH banding — the
+    * measurement companion to `lshCandidates(maxBucket)`: how many
+    * buckets exist, how hot the hottest is, and how many a given cap
+    * would drop. Run it on every new corpus BEFORE choosing the cap
+    * (the 100 TB operating procedure); it is one aggregate over the
+    * same (band, bucket) shuffle the pair generator uses, so it costs
+    * one banding pass and nothing quadratic.
+    */
+  def lshBucketProfile(df: DataFrame, text: Column, id: Column,
+      n: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
+    bandedSignatures(df, text, id, n, bands, rowsPerBand, "doc_id")
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > 1, 1L).otherwise(0L)).as("n_pair_buckets"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L)).as("n_dropped"))
 
   /** LSH LOOKUP: candidate pairs between an INCOMING batch and an
     * EXISTING corpus — the incremental-ingest dedup shape (dedup each

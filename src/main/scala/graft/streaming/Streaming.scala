@@ -145,14 +145,23 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val s = batch.sparkSession
-        val fs = new java.io.File(statePath)
-        val prior = Option(fs.listFiles())
-          .map(_.toSeq.filter(_.getName.startsWith("epoch="))
-            .map(_.getName.stripPrefix("epoch=").toLong)
-            .filter(_ < epoch))
-          .filter(_.nonEmpty)
-          .map(es => s.read.parquet(s"$statePath/epoch=${es.max}"))
-          .getOrElse(base)
+        // resolve through Hadoop FileSystem, not java.io.File: the state
+        // dir lives wherever the cluster's default FS puts it (HDFS, S3,
+        // abfs), where a local listFiles() would return null and silently
+        // merge against `base` — losing every earlier epoch's changes
+        val stateDir = new org.apache.hadoop.fs.Path(statePath)
+        val hfs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+        val priorEpochs =
+          (if (hfs.exists(stateDir)) hfs.listStatus(stateDir).toSeq
+           else Seq.empty)
+            .map(_.getPath.getName)
+            .filter(_.startsWith("epoch="))
+            .map(_.stripPrefix("epoch=").toLong)
+            .filter(_ < epoch)
+        val prior =
+          if (priorEpochs.nonEmpty)
+            s.read.parquet(s"$statePath/epoch=${priorEpochs.max}")
+          else base
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("version").desc)
         prior.unionByName(batch)
@@ -185,7 +194,10 @@ object Streaming {
       retries0: Int): (Seq[Routed], Int) = {
     var retries = retries0
     val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
-    attempts.sortBy(_.atMillis).foreach { a =>
+    // secondary keys make the fold order-stable when two attempts share
+    // a timestamp — the iterator arrives in nondeterministic shuffle
+    // order, and the payload chosen / dlq boundary must not vary by run
+    attempts.sortBy(a => (a.atMillis, a.ok, a.payload)).foreach { a =>
       if (a.ok) {
         out += Routed(id, "processed", retries, a.atMillis, a.payload)
         retries = 0
@@ -251,6 +263,97 @@ object Streaming {
     import org.apache.spark.sql.streaming.TimeMode
     ds.groupByKey(_.id)
       .transformWithState(new RetryStateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- T4c: retry with the exponential-backoff SCHEDULE ----------------
+
+  /** README.md:99-100 backoff policy: after the k-th failure the key
+    * may not be retried for base × 2^(k−1) — 1 s, 2 s, 4 s, 8 s with
+    * the 1 s default base, then the 5th failure dead-letters.
+    */
+  val BackoffBaseMillis = 1000L
+
+  case class BackoffState(retries: Int, dueMillis: Long)
+
+  /** The backoff-aware per-key fold (ONE body for both state APIs,
+    * like [[foldAttempts]]). On top of the plain retry state machine it
+    * keeps a next-attempt-DUE timestamp: a failure schedules
+    * due = at + base × 2^(retries−1); an attempt arriving BEFORE its
+    * due time is not consumed — it is bounced back to the retry topic
+    * as a "retry" row carrying the due time in `last_error_millis`
+    * (the redelivery hint a Kafka retry-topic consumer would delay
+    * on), leaving retries and the schedule untouched. Due attempts
+    * fold exactly as before: success → processed + clear; failure →
+    * count, and dead-letter at MaxRetries.
+    */
+  private[graft] def foldAttemptsBackoff(id: Long, attempts: Seq[Attempt],
+      st0: BackoffState, baseMillis: Long): (Seq[Routed], BackoffState) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
+    attempts.sortBy(a => (a.atMillis, a.ok, a.payload)).foreach { a =>
+      if (a.atMillis < st.dueMillis) {
+        out += Routed(id, "retry", st.retries, st.dueMillis, a.payload)
+      } else if (a.ok) {
+        out += Routed(id, "processed", st.retries, a.atMillis, a.payload)
+        st = BackoffState(0, 0L)
+      } else {
+        val retries = st.retries + 1
+        if (retries >= MaxRetries) {
+          out += Routed(id, "dlq", retries, a.atMillis, a.payload)
+          st = BackoffState(0, 0L)
+        } else {
+          st = BackoffState(retries, a.atMillis + (baseMillis << (retries - 1)))
+        }
+      }
+    }
+    (out.toSeq, st)
+  }
+
+  /** [[retryRoute]] + the exponential-backoff schedule (legacy
+    * flatMapGroupsWithState form; differential-proved against
+    * [[retryRouteBackoffTws]] in StreamingSpec).
+    */
+  def retryRouteBackoff(ds: Dataset[Attempt],
+      baseMillis: Long = BackoffBaseMillis)(
+      implicit spark: SparkSession): Dataset[Routed] = {
+    import spark.implicits._
+    ds.groupByKey(_.id)
+      .flatMapGroupsWithState[BackoffState, Routed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, attempts: Iterator[Attempt], state: GroupState[BackoffState]) =>
+          val (out, st) = foldAttemptsBackoff(id, attempts.toSeq,
+            state.getOption.getOrElse(BackoffState(0, 0L)), baseMillis)
+          if (st.retries > 0) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** The SAME backoff state machine on transformWithState. */
+  class BackoffStateProcessor(baseMillis: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Attempt, Routed] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var st: ValueState[BackoffState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BackoffState]("backoff",
+        org.apache.spark.sql.Encoders.product[BackoffState], TTLConfig.NONE)
+    override def handleInputRows(id: Long, rows: Iterator[Attempt],
+        timerValues: TimerValues): Iterator[Routed] = {
+      val (out, s) = foldAttemptsBackoff(id, rows.toSeq,
+        if (st.exists()) st.get() else BackoffState(0, 0L), baseMillis)
+      if (s.retries > 0) st.update(s) else st.clear()
+      out.iterator
+    }
+  }
+
+  def retryRouteBackoffTws(ds: Dataset[Attempt],
+      baseMillis: Long = BackoffBaseMillis)(
+      implicit spark: SparkSession): Dataset[Routed] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.id)
+      .transformWithState(new BackoffStateProcessor(baseMillis),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -117,6 +117,19 @@ class DiagnosticsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-3, s"pagerank mass $total")
   }
 
+  test("q130: per-iteration localCheckpoint truncates the plan (no nested rounds)") {
+    // the declared 2-iteration result must read the LAST round's
+    // materialized ranks, not a plan that re-nests (and re-executes)
+    // round 1 inside round 2 — at 20 iterations that nesting is the
+    // difference between a scan and an exponential replay
+    val plan = Queries10.pagerank(spark, sf, 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected a checkpoint scan at the root of:\n$plan")
+    assert(!plan.contains("Join"),
+      s"iteration joins leaked past the checkpoint:\n$plan")
+  }
+
   test("q131: bm25 scores are positive and descending") {
     val rows = Queries10.q131(spark, sf).collect()
     assert(rows.nonEmpty)

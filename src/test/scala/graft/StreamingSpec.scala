@@ -480,6 +480,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4c: backoff schedule — premature attempts bounce, due attempts fold") {
+    import Streaming.{foldAttemptsBackoff, BackoffState}
+    // base 1000: fail@0 schedules due=1000 (bounce @500), fail@1000
+    // schedules due=3000 (bounce the @2000 success), success@3000 lands
+    val script = Seq(
+      Attempt(1, ok = false, "f0", 0),
+      Attempt(1, ok = false, "f500", 500),
+      Attempt(1, ok = false, "f1000", 1000),
+      Attempt(1, ok = true, "ok2000", 2000),
+      Attempt(1, ok = true, "ok3000", 3000))
+    val (out, st) = foldAttemptsBackoff(1, script, BackoffState(0, 0L), 1000L)
+    assert(out.map(r => (r.route, r.payload, r.error_count, r.last_error_millis)) == Seq(
+      ("retry", "f500", 1, 1000L),      // before due=1000: bounced, hint=due
+      ("retry", "ok2000", 2, 3000L),    // before due=3000 after 2nd failure
+      ("processed", "ok3000", 2, 3000L)))
+    assert(st == BackoffState(0, 0L))   // success cleared the schedule
+    // the 5th DUE failure dead-letters exactly as the plain machine:
+    // fails at 0, +1s, +2s, +4s, +8s — each exactly at its due time
+    val fails = Seq(0L, 1000L, 3000L, 7000L, 15000L).zipWithIndex.map {
+      case (t, i) => Attempt(2, ok = false, s"f$i", t) }
+    val (out2, st2) = foldAttemptsBackoff(2, fails, BackoffState(0, 0L), 1000L)
+    assert(out2.map(_.route) == Seq("dlq") && out2.head.error_count == 5)
+    assert(st2 == BackoffState(0, 0L))
+  }
+
+  test("T4c differential: backoff transformWithState == flatMapGroupsWithState") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          topo: org.apache.spark.sql.Dataset[Attempt] => org.apache.spark.sql.Dataset[Routed]): Seq[Routed] = {
+        val in = MemoryStream[Attempt](spark)
+        val q = topo(in.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          // batch 1: two failures (one premature), a premature success
+          in.addData(Attempt(1, ok = false, "a", 0),
+            Attempt(1, ok = false, "b", 400),
+            Attempt(1, ok = true, "c", 900))
+          q.processAllAvailable()
+          // batch 2: cross-batch schedule honored — the 1000-due from
+          // batch 1 bounces @950, lands @1000; id 2 interleaves
+          in.addData(Attempt(1, ok = true, "d", 950),
+            Attempt(1, ok = true, "e", 1000),
+            Attempt(2, ok = false, "x", 100),
+            Attempt(2, ok = true, "y", 1100))
+          q.processAllAvailable()
+          spark.table(name).as[Routed].collect().toSeq
+            .sortBy(r => (r.id, r.last_error_millis, r.payload))
+        } finally q.stop()
+      }
+      val legacy = run("t4b_legacy", ds => Streaming.retryRouteBackoff(ds))
+      val modern = run("t4b_modern", ds => Streaming.retryRouteBackoffTws(ds))
+      assert(legacy.nonEmpty)
+      assert(modern == legacy, s"tws=$modern legacy=$legacy")
+      // and the due-time ordering actually bit: premature rows bounced
+      assert(legacy.count(_.route == "retry") == 3)
+      assert(legacy.count(_.route == "processed") == 2)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("T1: checkpointed file pipeline is exactly-once across restart") {
     val dir = Files.createTempDirectory("graft_eo_").toString
     val src = s"$dir/src"; val out = s"$dir/out"; val cp = s"$dir/cp"

@@ -219,4 +219,55 @@ class TextVectorsSpec extends SparkSpec {
       assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
     }
   }
+
+  test("lshCandidates maxBucket drops a planted mega-bucket, keeps sparse pairs") {
+    import graft.operators.Dedup
+    // 6 identical boilerplate docs: every band bucket holds all 6, so a
+    // cap of 4 drops ALL their pairs (the O(k²) bound in action). The
+    // separate near-dup pair (100, 101) lives in 2-doc buckets and must
+    // survive the cap untouched.
+    val boiler = "subscribe to our newsletter for the latest updates and offers today"
+    val other = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0L until 6L).map(i => (i, boiler)) ++
+      Seq((100L, other), (101L, other + " x"))).toDF("doc_id", "text")
+    val uncapped = Dedup.lshCandidates(docs, $"text", $"doc_id", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidates(docs, $"text", $"doc_id", 3, 4, 2,
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((100L, 101L)))
+    assert(capped == Set((100L, 101L)),
+      s"cap should drop exactly the mega-bucket pairs: $capped")
+    // the profile sees what the cap dropped: some band has a 6-deep
+    // bucket over the cap
+    val prof = Dedup.lshBucketProfile(docs, $"text", $"doc_id", 3, 4, 2,
+        maxBucket = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(4))).toList
+    assert(prof.forall { case (_, maxB, nDrop) => maxB == 6L && nDrop >= 1L },
+      s"profile should report the 6-deep over-cap bucket per band: $prof")
+  }
+
+  test("q143's band-bucket cap is answer-invisible at sf0.1 (no bucket hits it)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val prof = Dedup.lshBucketProfile(docs, $"text", $"doc_id",
+        LshStages.ShingleN, LshStages.Bands, LshStages.RowsPerBand,
+        maxBucket = Queries13.MaxBucket)
+      .collect()
+    assert(prof.nonEmpty)
+    // no bucket reaches the cap at 10× the correctness-gate scale...
+    prof.foreach { r =>
+      assert(r.getLong(4) == 0L, s"unexpected over-cap bucket: $r")
+      assert(r.getLong(2) <= Queries13.MaxBucket, s"hot bucket: $r")
+    }
+    // ...so the capped pair set IS the uncapped one, bit for bit
+    val capped = Dedup.lshCandidates(docs, $"text", $"doc_id",
+        LshStages.ShingleN, LshStages.Bands, LshStages.RowsPerBand,
+        maxBucket = Queries13.MaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.lshCandidates(docs, $"text", $"doc_id",
+        LshStages.ShingleN, LshStages.Bands, LshStages.RowsPerBand)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
 }
