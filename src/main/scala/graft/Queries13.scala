@@ -52,9 +52,53 @@ object Queries13 {
         rowsPerBand = LshStages.RowsPerBand, maxBucket = MaxBucket)
       .orderBy(col("band"))
 
+  /** q145 — HLL SKETCH CALIBRATION (the TypedImperativeAggregate
+    * escape hatch, SketchAggregates.HllEstimate). Per event_type:
+    * exact distinct users vs the p=8 HLL estimate. The oracle rebuilds
+    * the register file and estimator in SQL from the shared md5Long
+    * hash, so the custom aggregate's buffer/merge/eval path is
+    * HASH-verified against an independent implementation of the same
+    * published math — the q123 CMS treatment applied to per-group
+    * state. PropertySpec additionally proves merge associativity
+    * (partitioning invariance) and the error bound corpus-wide.
+    *
+    * Scale: the POINT of the operator — a per-group distinct count at
+    * 100 TB carries 256 bytes per group through a normal partial+final
+    * aggregate instead of shuffling every distinct value (the
+    * count_distinct Expand) or collecting raw sets.
+    */
+  def q145(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"),
+        round(graft.functions.SketchAggregates.hll_estimate(
+          col("user_id").cast("string"), 8), 4).as("n_hll"))
+      .orderBy(col("event_type"))
+
+  /** q146 — IVF ANN (Ann.ivfTopK, previously library+spec only). The
+    * declared configuration probes ALL centroids (nProbe = nCentroids
+    * = 8), which makes the result PROVABLY equal to brute-force
+    * cosine top-k — every vector is scanned whatever partition KMeans
+    * put it in — so the brute-force SQL is a sound oracle even though
+    * the coarse quantizer itself (MLlib KMeans, seeded) is not
+    * SQL-expressible. The at-scale mode (nProbe < nCentroids, a query
+    * touches nProbe partitions of the corpus) is the SAME code path
+    * with a smaller centroid set; its recall curve is measured in
+    * AnnRecallSpec ("IVF: recall@10 grows with nProbe").
+    */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 7)
+      .select(col("embedding").as("probe_emb"))
+    graft.operators.Ann.ivfTopK(e.filter(col("vec_id") =!= 7),
+      "vec_id", "embedding", probe, k = 10, nCentroids = 8, nProbe = 8)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_capped_lsh_pairs" -> (q143 _),
-    "q144_lsh_bucket_profile" -> (q144 _))
+    "q144_lsh_bucket_profile" -> (q144 _),
+    "q145_hll_calibration" -> (q145 _),
+    "q146_ivf_ann" -> (q146 _))
 }
 
 object Oracle13 {
@@ -85,5 +129,84 @@ object Oracle13 {
          |SELECT band, count(*) AS n_buckets, max(bn) AS max_bucket,
          |  CAST(sum(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_buckets,
          |  CAST(sum(CASE WHEN bn > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |FROM bsz GROUP BY band ORDER BY band""".stripMargin)
+         |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
+
+    // the HLL register file and estimator, rebuilt in SQL: same 60-bit
+    // md5 hash, low-8-bit index, leading-zero rank, integer harmonic
+    // sum S = Σ 2^(53 − M_j) (exact in BIGINT — no float summation
+    // order anywhere), and the SAME left-to-right double arithmetic as
+    // HllEstimate.eval
+    "q145_hll_calibration" ->
+      s"""WITH v AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type,
+         |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM v),
+         |r AS (SELECT event_type, h % 256 AS idx, h // 256 AS w FROM h),
+         |reg AS (SELECT event_type, idx,
+         |    max(CASE WHEN w = 0 THEN 53
+         |        ELSE 53 - length(format('{:b}', w)) END) AS mj
+         |  FROM r GROUP BY event_type, idx),
+         |agg AS (SELECT event_type,
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT)
+         |      + (256 - count(*)) * (1::BIGINT << 53) AS s,
+         |    256 - count(*) AS zeros
+         |  FROM reg GROUP BY event_type),
+         |est AS (SELECT event_type, zeros,
+         |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+         |      * 9007199254740992.0 / CAST(s AS DOUBLE) AS raw
+         |  FROM agg),
+         |fin AS (SELECT event_type,
+         |    CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+         |      THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END AS est
+         |  FROM est),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT ex.event_type, n_exact, round(est, 4) AS n_hll
+         |FROM ex JOIN fin USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    // q48 oracle BACKFILL (was NumPy-only through round 5): the synth
+    // media table and the FakeCodec pixel cycle are deterministic
+    // integer arithmetic (Multimodal.scala:73-85, 43-47), so the whole
+    // byte-histogram/mean/entropy pipeline is SQL-expressible. Pixel
+    // sums are integer-valued doubles (exact in any order); the
+    // entropy sum walks the histogram in bucket order on both engines
+    // (list(c ORDER BY b) mirrors the Scala hist-array iteration).
+    "q48_multimodal_features" ->
+      """WITH ids AS (SELECT unnest(range(200)) AS id),
+        |m AS (SELECT id, CASE WHEN id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+        |    8 + id % 5 AS w, 8 + id % 3 AS h, 64 + (id % 17) * 7 AS plen FROM ids),
+        |px AS (SELECT id, kind, w * h AS n, plen, unnest(range(w * h)) AS j FROM m),
+        |pv AS (SELECT id, kind, n, plen,
+        |    (id * 131 + (j % plen) * 31 + 7) % 251 AS p FROM px),
+        |mean AS (SELECT id, CAST(sum(p) AS DOUBLE) / n AS byte_mean
+        |  FROM pv GROUP BY id, n),
+        |hist AS (SELECT id, kind, n, plen, p // 16 AS b, count(*) AS c
+        |  FROM pv GROUP BY ALL),
+        |hl AS (SELECT id, kind, n, plen, list(c ORDER BY b) AS cs
+        |  FROM hist GROUP BY ALL),
+        |ent AS (SELECT id, kind, n, plen,
+        |    -list_sum(list_transform(cs,
+        |      c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)))
+        |      AS byte_entropy
+        |  FROM hl)
+        |SELECT ent.id AS media_id, kind, CAST(plen AS INTEGER) AS n_bytes,
+        |  round(byte_mean, 4) AS byte_mean,
+        |  round(byte_entropy, 4) AS byte_entropy, e.label
+        |FROM ent JOIN mean USING (id) JOIN embeddings e ON ent.id = e.vec_id
+        |ORDER BY media_id""".stripMargin,
+
+    // brute force IS the oracle: full-probe IVF (nProbe = nCentroids)
+    // scans every cluster, so the KMeans partition is answer-invisible
+    "q146_ivf_ann" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS cosine
+        |FROM embeddings e, p WHERE e.vec_id <> 7
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
 }

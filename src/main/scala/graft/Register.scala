@@ -44,7 +44,11 @@ object Register {
       es => ShingleStrings(es(0), intLit(es(1), "n"))),
     ("graft_simhash",
       "graft_simhash(text, bits) - packed simhash fingerprint over whitespace tokens",
-      es => SimhashPacked(es(0), intLit(es(1), "bits"))))
+      es => SimhashPacked(es(0), intLit(es(1), "bits"))),
+    ("graft_hll",
+      "graft_hll(s, p) - HyperLogLog distinct estimate with 2^p byte registers",
+      es => graft.functions.SketchAggregates.HllEstimate(
+        es(0), intLit(es(1), "p"))))
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

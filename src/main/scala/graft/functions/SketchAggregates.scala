@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom per-group sketch aggregates — the `TypedImperativeAggregate`
+  * escape hatch SURVEY §2.9 declares for 100 TB: when a per-key
+  * summary (HLL, KLL, CMS-per-group) has no built-in, this is the
+  * preferred shape — an aggregate with an arbitrary mutable buffer
+  * that still runs as a NORMAL partial+final Spark aggregate (map-side
+  * combine, bounded per-group state, mergeable across partitions), as
+  * opposed to collect_list + driver math which ships raw values.
+  *
+  * [[HllEstimate]] is the demonstrator: classic HyperLogLog (Flajolet,
+  * Fusy, Gandouet, Meunier 2007) over the repo's shared 60-bit md5
+  * projection (Text.md5Long — first 15 hex chars), so the DuckDB
+  * oracle can rebuild the EXACT register file in SQL and the declared
+  * query (q145) is hash-verified, not just bounded: every arithmetic
+  * step of the estimator is written in the same left-to-right IEEE
+  * order on both engines.
+  *
+  * Register layout for precision p (m = 2^p registers):
+  *   h   = md5Long(value)            (60 usable bits)
+  *   idx = h & (m-1)                 (low p bits)
+  *   w   = h >>> p                   (60-p bits)
+  *   rho = (60-p) + 1 - bitlength(w) (leading-zero count + 1; w=0 →
+  *                                    the max, (60-p)+1)
+  *   M_idx = max(rho)
+  * Estimator: raw = alpha_m * m * m * 2^(60-p+1) / S with the integer
+  * S = Σ_j 2^((60-p+1) - M_j) — EXACT in a 64-bit long for p ≥ 8
+  * (each term ≤ 2^53, 256 terms → ≤ 2^61), which is what makes the
+  * harmonic mean reproducible bit-for-bit in DuckDB (a float Σ 2^-M_j
+  * would be summation-order-dependent). Small-range correction:
+  * raw ≤ 2.5m with empty registers → linear counting m·ln(m/zeros).
+  */
+object SketchAggregates {
+
+  /** HyperLogLog cardinality estimate of `child` (StringType) with
+    * 2^p byte registers. p=8 → ±1.04/√256 ≈ 6.5% standard error on
+    * ~256 bytes of state per group, at any cardinality.
+    */
+  case class HllEstimate(child: Expression, p: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]]
+      with UnaryLike[Expression] {
+    require(p >= 4 && p <= 12,
+      s"hll precision p must be in [4,12] (m=2^p byte registers), got $p")
+
+    private val m = 1 << p
+    private val wBits = 60 - p          // bits left after the index
+    private val scale = wBits + 1       // max register value
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_hll"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        // the shared 60-bit projection: first 7 md5 bytes + high nibble
+        // of the 8th (bit-identical to Text.md5Long / Md5ShingleHashes)
+        val d = md5Local.get().digest(
+          v.asInstanceOf[UTF8String].toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v56 = 0L
+        var b = 0
+        while (b < 7) { v56 = (v56 << 8) | (d(b) & 0xffL); b += 1 }
+        val h = (v56 << 4) | ((d(7) & 0xf0L) >>> 4)
+        val idx = (h & (m - 1)).toInt
+        val w = h >>> p
+        // w=0: numberOfLeadingZeros(0)=64 → bitlength 0 → rho = wBits+1
+        val rho = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > buf(idx)) buf(idx) = rho.toByte
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < m) { if (b2(j) > b1(j)) b1(j) = b2(j); j += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      var s = 0L
+      var zeros = 0
+      var j = 0
+      while (j < m) {
+        s += 1L << (scale - buf(j))
+        if (buf(j) == 0) zeros += 1
+        j += 1
+      }
+      val md = m.toDouble
+      // keep this exact operation order in sync with the Oracle13 SQL:
+      // ((((0.7213/(1+1.079/m)) * m) * m) * 2^scale) / S
+      val raw = 0.7213 / (1.0 + 1.079 / md) * md * md *
+        java.lang.Math.pow(2.0, scale) / s.toDouble
+      if (raw <= 2.5 * md && zeros > 0) md * java.lang.Math.log(md / zeros)
+      else raw
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hll expects a string column, got ${child.dataType}")
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): HllEstimate =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): HllEstimate =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): HllEstimate = copy(child = newChild)
+  }
+
+  /** Column-API form: `hll_estimate($"user_id".cast("string"), 8)`. */
+  def hll_estimate(c: Column, p: Int): Column =
+    GraftShim.column(
+      HllEstimate(GraftShim.expression(c), p).toAggregateExpression())
+}

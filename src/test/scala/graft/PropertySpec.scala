@@ -157,4 +157,31 @@ class PropertySpec extends SparkSpec {
     val (p50, p99) = (row.getDouble(2), row.getDouble(3))
     assert(p50 > 0 && p50 < p99)
   }
+
+  test("property: HllEstimate is partitioning-invariant (merge associativity)") {
+    import graft.functions.SketchAggregates.hll_estimate
+    // the SAME rows split 1 / 7 / 32 ways must produce bit-identical
+    // estimates: update order varies per partitioning, merge tree
+    // varies with partition count — only a commutative/associative
+    // (buffer, merge) pair survives this unchanged
+    val e = Tables.events(spark, sf).select($"event_type",
+      $"user_id".cast("string").as("u"))
+    val ests = Seq(1, 7, 32).map { np =>
+      e.repartition(np).groupBy($"event_type")
+        .agg(hll_estimate($"u", 8).as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(ests.forall(_ == ests.head), s"partitioning changed the sketch: $ests")
+  }
+
+  test("property: HllEstimate error is inside 3 standard errors at p=8") {
+    import graft.functions.SketchAggregates.hll_estimate
+    // distinct counts at several magnitudes; 3σ = 3·1.04/√256 ≈ 19.5%
+    import spark.implicits._
+    val rows = (1 to 20000).map(i => s"v$i").toDF("u")
+    Seq(100, 2000, 20000).foreach { n =>
+      val est = rows.limit(n).agg(hll_estimate($"u", 8)).head().getDouble(0)
+      assert(math.abs(est - n) / n < 0.195, s"n=$n est=$est")
+    }
+  }
 }

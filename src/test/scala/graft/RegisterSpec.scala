@@ -36,4 +36,28 @@ class RegisterSpec extends SparkSpec {
     val cols = top.collect().map(_.getDouble(1))
     assert(cols.sameElements(cols.sortBy(-_)))
   }
+
+  test("graft_hll aggregate: SQL form == Column form, near the exact count") {
+    Register.all(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_hll")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_hll(CAST(user_id AS STRING), 8) AS est
+        |FROM ev_hll GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaCol = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(graft.functions.SketchAggregates.hll_estimate(
+        org.apache.spark.sql.functions.col("user_id").cast("string"), 8)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+    val exact = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaSql.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) / exact(k) < 0.195, s"$k: $est vs ${exact(k)}")
+    }
+  }
 }
