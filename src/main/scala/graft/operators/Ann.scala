@@ -71,12 +71,17 @@ object Ann {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.withColumn("__vec",
       array_to_vector(col(vecCol).cast("array<double>")))
+    // few Lloyd rounds: the index only needs a REASONABLE partition
+    // (recall is bought with nProbe, and the full-probe correctness
+    // anchor is invariant to clustering quality); a production build
+    // fits on a sample once and reuses the centroids across queries
     val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("__cluster")
       .fit(withVec)
     val assigned = model.transform(withVec)

@@ -304,4 +304,32 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("ReadSchema")).mkString
     assert(rs.contains("props") && !rs.contains("value") && !rs.contains("user_id"), rs)
   }
+
+  test("q145: the HLL sketch plans as a partial+final object aggregate") {
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // stage before the exchange: 256-byte buffers shuffle, raw user
+    // ids never do (beyond the count_distinct twin's expand)
+    val p = simple("q145_hll_calibration")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final object aggregate stages")
+  }
+
+  test("q147/q148: model scoring and collocations broadcast their dims") {
+    // q147: the token->count join is the one shuffle; totals broadcast
+    val p147 = simple("q147_perplexity_filter")
+    assert(p147.contains("BroadcastExchange"), p147.take(400))
+    assert(!p147.contains("CartesianProduct"))
+    // q148: head vocabulary broadcasts; top-20 is TakeOrdered
+    val p148 = simple("q148_pmi_collocations")
+    assert(p148.contains("BroadcastHashJoin"), p148.take(400))
+    assert(p148.contains("TakeOrderedAndProject"))
+    assert(!p148.contains("CartesianProduct"))
+  }
+
+  test("q143: capped pair generation keeps the (band,bucket) bucket-collect shape") {
+    val p = simple("q143_capped_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(400))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
 }

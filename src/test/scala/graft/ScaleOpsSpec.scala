@@ -365,4 +365,33 @@ class ScaleOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("TopKByLen aggregator is partitioning-invariant and == the window form") {
+    import graft.functions.TypedAggs
+    import spark.implicits._
+    // the bounded insert-and-trim fold must produce the same top-3
+    // whatever the partitioning (merge associativity/commutativity),
+    // and q151 must equal q129's row_number() window semantics
+    def run(np: Int): Seq[(String, Long, Long, Int)] =
+      Tables.documents(spark, sf)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .repartition(np)
+        .as[TypedAggs.DocRow]
+        .groupByKey(_.lang)
+        .agg(new TypedAggs.TopKByLen(3).toColumn.name("top"))
+        .toDF("lang", "top")
+        .select(col("lang"), posexplode(col("top.items")).as(Seq("pos", "p")))
+        .collect()
+        .map(r => (r.getString(0), r.getStruct(2).getLong(0),
+          r.getStruct(2).getLong(1), r.getInt(1) + 1))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val variants = Seq(1, 7, 32).map(run)
+    assert(variants.forall(_ == variants.head),
+      "partitioning changed the bounded top-k fold")
+    val window = Queries9.q129(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(variants.head == window,
+      s"aggregator top-k != window top-k")
+  }
 }

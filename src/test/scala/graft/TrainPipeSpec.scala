@@ -118,4 +118,60 @@ class TrainPipeSpec extends SparkSpec {
       assert(nKept == recount, s"$lang kept $nKept != recount $recount")
     }
   }
+
+  test("q147: nll is positive, covers every non-null-text doc, and a " +
+      "common-token doc scores below a rare-token doc") {
+    val rows = Queries14.q147(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf)
+      .filter($"text".isNotNull).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("mean_nll")
+      assert(nll > 0, s"unigram nll must be positive: $r")
+      assert(r.getAs[Boolean]("drop") == (nll > 7.0) ||
+        math.abs(nll - 7.0) < 1e-3, s"drop flag inconsistent: $r")
+    }
+    // model sanity on a synthetic corpus: the doc made of the corpus'
+    // commonest token must be more probable than the rare-token doc
+    import spark.implicits._
+    val synth = (Seq.fill(9)("common common common") :+ "rare")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sdir = java.nio.file.Files.createTempDirectory("graft_q147_").toString
+    synth.write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    val nlls = Queries14.q147(spark, sdir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_nll")).toMap
+    assert(nlls(0) < nlls(9), s"common-token doc must score lower: $nlls")
+  }
+
+  test("q148: co-occurrence counts are consistent and pmi recomputes") {
+    val rows = Queries14.q148(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (nab, pmi) = (r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"))
+      assert(nab >= 5)
+      // n_ab <= N always; pmi bounded above by ln(N / n_ab) when both
+      // marginals are at least n_ab
+      assert(nab <= n)
+      assert(pmi <= math.log(n.toDouble / nab) + 1e-9, s"pmi too large: $r")
+    }
+  }
+
+  test("q149: weights are a distribution and small sources are upweighted") {
+    val rows = Queries14.q149(spark, sf).collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-2, s"weights sum to $wsum")
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val effSum = rows.map(_.getAs[Double]("eff_docs")).sum
+    assert(math.abs(effSum - n) / n < 1e-2, s"eff docs sum to $effSum of $n")
+    // temperature flattening: weight/p ratio must be (weakly) larger
+    // for smaller sources
+    val byN = rows.sortBy(_.getAs[Long]("n_docs")).map { r =>
+      r.getAs[Double]("weight") / (r.getAs[Long]("n_docs").toDouble / n)
+    }
+    byN.sliding(2).foreach { case Array(small, large) =>
+      assert(small >= large - 1e-9,
+        s"smaller source must be upweighted at least as much: ${byN.toSeq}")
+    }
+  }
 }
