@@ -158,6 +158,48 @@ class PropertySpec extends SparkSpec {
     assert(p50 > 0 && p50 < p99)
   }
 
+  test("property: backoff retry fold is batch-split invariant at time boundaries") {
+    import graft.streaming.Streaming
+    import graft.streaming.Streaming.{Attempt, BackoffState}
+    // the micro-batch contract: folding a time-ordered attempt stream
+    // in ONE batch must equal folding it as TWO batches with the state
+    // carried across the cut — for EVERY cut point. This is what makes
+    // the streaming operator's routing independent of how the source
+    // happens to batch the events.
+    val attemptGen: Gen[List[Attempt]] = for {
+      n <- Gen.chooseNum(1, 24)
+      oks <- Gen.listOfN(n, Gen.oneOf(true, false, false))
+      gaps <- Gen.listOfN(n, Gen.chooseNum(0L, 2500L))
+    } yield {
+      var t = 0L
+      oks.zip(gaps).zipWithIndex.map { case ((ok, g), i) =>
+        t += g; Attempt(1L, ok, s"p$i", t)
+      }
+    }
+    // cuts at STRICT time boundaries only: a cut separating two
+    // equal-timestamp attempts changes which side of the tie folds
+    // first — the documented cross-batch reordering limitation (full
+    // event-time reconciliation would need watermark buffering, see
+    // the foldAttempts scaladoc). At strict boundaries the per-batch
+    // sorts compose into the whole-batch sort, so routing, emission
+    // order AND carried state must all be identical.
+    draws(attemptGen, 25, 606L).foreach { script =>
+      val whole = Streaming.foldAttemptsBackoff(1L, script,
+        BackoffState(0, 0L), 1000L)
+      (0 to script.length)
+        .filter(cut => cut == 0 || cut == script.length ||
+          script(cut - 1).atMillis != script(cut).atMillis)
+        .foreach { cut =>
+          val (b1, b2) = script.splitAt(cut)
+          val (out1, st1) = Streaming.foldAttemptsBackoff(1L, b1,
+            BackoffState(0, 0L), 1000L)
+          val (out2, st2) = Streaming.foldAttemptsBackoff(1L, b2, st1, 1000L)
+          assert((out1 ++ out2, st2) == whole,
+            s"cut=$cut diverged for $script")
+        }
+    }
+  }
+
   test("property: HllEstimate is partitioning-invariant (merge associativity)") {
     import graft.functions.SketchAggregates.hll_estimate
     // the SAME rows split 1 / 7 / 32 ways must produce bit-identical
