@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 batch 5: the two lakehouse maintenance operations missing
+  * from the S5/S6/X38 story — compaction and schema evolution.
+  *
+  *  - q152 small-file compaction: the nightly OPTIMIZE every parquet
+  *    lake runs — rewrite a fragmented table region into target-size
+  *    files. Declared as a query whose OUTPUT is the post-compaction
+  *    audit (rows, checksum, file count before/after), so the oracle
+  *    (computed on the logical content) proves the rewrite changed
+  *    the LAYOUT and nothing else.
+  *  - q153 schema-evolution read: two writer generations (v2 adds a
+  *    column) land in one dataset; `mergeSchema` unifies them with
+  *    NULL back-fill. The oracle reproduces the unified view with an
+  *    explicit NULL column over the originals — hash parity proves
+  *    the evolved read is exactly "old rows get NULL", no silent
+  *    coercion.
+  */
+object Queries16 {
+  import Tables._
+
+  private def wDir(tag: String, d: String): String =
+    s"/root/repo/target/lakeops/${tag}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
+      ProcessHandle.current().pid()
+
+  /** q152 — SMALL-FILE COMPACTION. Fragment `orders` into 64 files
+    * (the streaming-ingest pathology: one file per micro-batch per
+    * partition), compact with a single repartition-by-range write
+    * (range keeps min/max file statistics tight for later pruning),
+    * and audit: row count + order-invariant checksum before/after,
+    * file counts. At 100 TB the same job runs per partition-predicate
+    * slice (only cold regions), target file size 128-512 MB.
+    */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val dir = wDir("compact", d)
+    val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    def files(p: String): Long =
+      s.read.parquet(p).select(input_file_name()).distinct().count()
+    val fragFiles = files(s"$dir/frag")
+    val frag = s.read.parquet(s"$dir/frag")
+    frag.repartitionByRange(2, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/compact")
+    val compFiles = files(s"$dir/compact")
+    val comp = s.read.parquet(s"$dir/compact")
+    // order-invariant content fingerprint over the non-float key
+    // columns via the repo's shared 60-bit md5 projection (the oracle
+    // rebuilds it — engine-native hashes like xxhash64 have no DuckDB
+    // twin), plus the price total through the exact decimal path
+    def audit(df: DataFrame, label: String) =
+      df.agg(lit(label).as("stage"), count(lit(1)).as("n_rows"),
+        sum(graft.functions.Text.md5Long(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+          .cast(DecimalType(38, 0))).cast("string").as("content_sum"),
+        round(sum(col("o_totalprice").cast(DecimalType(38, 6))), 4)
+          .cast("double").as("total_price"))
+    audit(frag, "fragmented")
+      .withColumn("n_files", lit(fragFiles))
+      .unionByName(audit(comp, "compacted")
+        .withColumn("n_files", lit(compFiles)))
+      .select(col("stage"), col("n_rows"), col("content_sum"),
+        col("total_price"),
+        // the audit row carries WHETHER compaction compacted (layout
+        // is not content): many fragments in, few target files out
+        when(col("stage") === "fragmented", col("n_files") > 2L)
+          .otherwise(col("n_files") <= 2L).as("layout_ok"))
+      .orderBy(col("stage"))
+  }
+
+  /** q153 — SCHEMA-EVOLUTION READ. Generation v1 writes (doc_id,
+    * lang); generation v2 adds `quality`. `mergeSchema` unifies; old
+    * rows read with NULL quality. Per-lang rollup over the unified
+    * view, counting rows per generation via the NULL marker.
+    */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val dir = wDir("evolve", d)
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("double") / 1000.0).as("quality"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_v1"),
+        round(sum(coalesce(col("quality"), lit(0.0))
+          .cast(DecimalType(38, 18))), 4).cast("double").as("sum_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_compaction" -> (q152 _),
+    "q153_schema_evolution" -> (q153 _))
+}
+
+object Oracle16 {
+
+  val sql: Map[String, String] = Map(
+    // the oracle computes the SAME audit from the logical content —
+    // both stages must report identical rows/checksum (layout-only
+    // rewrite), and layout_ok is true on both rows
+    "q152_compaction" ->
+      """WITH c AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(CAST('0x' || substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15)
+        |      AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS content_sum,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4)
+        |      AS DOUBLE) AS total_price
+        |  FROM orders)
+        |SELECT 'compacted' AS stage, n_rows, content_sum, total_price,
+        |  true AS layout_ok FROM c
+        |UNION ALL
+        |SELECT 'fragmented' AS stage, n_rows, content_sum, total_price,
+        |  true AS layout_ok FROM c
+        |ORDER BY stage""".stripMargin,
+
+    "q153_schema_evolution" ->
+      """WITH v1 AS (SELECT doc_id, lang, NULL::DOUBLE AS quality
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 1000.0 AS quality
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |  CAST(round(sum(CAST(coalesce(quality, 0.0) AS DECIMAL(38,18))), 4)
+        |    AS DOUBLE) AS sum_quality
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin)
+}
