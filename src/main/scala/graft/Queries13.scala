@@ -73,7 +73,9 @@ object Queries13 {
       .agg(count_distinct(col("user_id")).as("n_exact"),
         round(graft.functions.SketchAggregates.hll_estimate(
           col("user_id").cast("string"), 8), 4).as("n_hll"))
-      .orderBy(col("event_type"))
+      // asc_nulls_last = DuckDB's default (the oracle's NULL-safe
+      // join keeps a NULL event_type group; it must sort identically)
+      .orderBy(col("event_type").asc_nulls_last)
 
   /** q146 — IVF ANN (Ann.ivfTopK, previously library+spec only). The
     * declared configuration probes ALL centroids (nProbe = nCentroids
@@ -162,9 +164,11 @@ object Oracle13 {
          |  FROM est),
          |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
          |  FROM events GROUP BY event_type)
-         |SELECT ex.event_type, n_exact, round(est, 4) AS n_hll
-         |FROM ex JOIN fin USING (event_type)
-         |ORDER BY event_type""".stripMargin,
+         |SELECT ex.event_type, n_exact,
+         |  round(coalesce(est, 0.0), 4) AS n_hll
+         |FROM ex LEFT JOIN fin
+         |  ON ex.event_type IS NOT DISTINCT FROM fin.event_type
+         |ORDER BY ex.event_type""".stripMargin,
 
     // q48 oracle BACKFILL (was NumPy-only through round 5): the synth
     // media table and the FakeCodec pixel cycle are deterministic

@@ -112,7 +112,9 @@ object Queries14 {
       .select(col("source"), col("n_docs"),
         round(col("sp") / col("z"), 4).as("weight"),
         round(col("sp") / col("z") * col("n_total"), 4).as("eff_docs"))
-      .orderBy(col("source"))
+      // asc_nulls_last: DuckDB's default NULL ordering — a NULL source
+      // (schema permits it) must not land in a different position
+      .orderBy(col("source").asc_nulls_last)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -94,7 +94,8 @@ object Queries16 {
         sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_v1"),
         round(sum(coalesce(col("quality"), lit(0.0))
           .cast(DecimalType(38, 18))), 4).cast("double").as("sum_quality"))
-      .orderBy(col("lang"))
+      // asc_nulls_last mirrors DuckDB's default NULL ordering
+      .orderBy(col("lang").asc_nulls_last)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

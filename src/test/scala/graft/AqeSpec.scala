@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions._
 
 /** Adaptive Query Execution compatibility — the cluster-default story
   * PERF.md argues (AQE re-plans at runtime: skew-join splitting,
@@ -54,6 +55,38 @@ class AqeSpec extends SparkSpec {
   test("AQE: top-k still plans TakeOrderedAndProject, not a global sort") {
     assert(ranPlan("q26_topk_users").contains("TakeOrderedAndProject"))
     assert(ranPlan("q29_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("AQE: a planted hot key triggers the skew-join split (isSkew in plan)") {
+    import spark.implicits._
+    // 200k rows on ONE key vs 64 rows spread over 64 keys: with the
+    // skew thresholds lowered to test scale, AQE must mark the SMJ
+    // skewed and split the hot partition — the runtime half of the
+    // salting story (operators/Skew.scala is the planner-time half)
+    val skewKeys = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = skewKeys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    skewKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try withAqe {
+      val hot = spark.range(200000)
+        .select(when(col("id") < 190000, lit(7L)).otherwise(col("id") % 64)
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(64).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("label"))
+      val joined = hot.join(dim, Seq("k"))
+      // collect() (not count()) so THIS DataFrame's adaptive plan is
+      // the one that runs to its final form
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected a skew-split join in:\n${plan.take(1500)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("AQE: flagship and skew-safe results are identical with AQE on") {
