@@ -98,9 +98,36 @@ object Queries16 {
       .orderBy(col("lang").asc_nulls_last)
   }
 
+  /** q154 — PACKING-EFFICIENCY REPORT. For each candidate training
+    * sequence length L ∈ {512, 1024, 2048}: how many sequences the
+    * corpus chunks into (ceil(n_tok/L) per doc) and what fraction of
+    * the resulting token slots real tokens fill — the padding-waste
+    * number that picks L before a packing run (q103 then does the
+    * packing at the chosen L).
+    *
+    * Scale: ONE narrow pass computes per-doc token counts; the 3-row
+    * L dimension explodes per doc (3× fan-out of a 1-int row, not of
+    * text); integer sums all the way, one final division per L row.
+    */
+  def q154(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("n_tok"), explode(typedLit(Seq(512L, 1024L, 2048L))).as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(((col("n_tok") + col("seq_len") - 1) / col("seq_len"))
+          .cast("long")).as("n_seqs"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * col("seq_len")), 4).as("utilization"))
+      .orderBy(col("seq_len"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_compaction" -> (q152 _),
-    "q153_schema_evolution" -> (q153 _))
+    "q153_schema_evolution" -> (q153 _),
+    "q154_packing_efficiency" -> (q154 _))
 }
 
 object Oracle16 {
@@ -111,9 +138,9 @@ object Oracle16 {
     // rewrite), and layout_ok is true on both rows
     "q152_compaction" ->
       """WITH c AS (SELECT count(*) AS n_rows,
-        |    CAST(sum(CAST(CAST('0x' || substring(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' ||
-        |      CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15)
+        |    CAST(sum(CAST(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |      o_orderstatus)), 1, 15)
         |      AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS content_sum,
         |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4)
         |      AS DOUBLE) AS total_price
@@ -135,5 +162,19 @@ object Oracle16 {
         |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
         |  CAST(round(sum(CAST(coalesce(quality, 0.0) AS DECIMAL(38,18))), 4)
         |    AS DOUBLE) AS sum_quality
-        |FROM u GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q154_packing_efficiency" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT n_tok, unnest([512, 1024, 2048]) AS seq_len FROM n),
+        |g AS (SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum((n_tok + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs
+        |  FROM x GROUP BY seq_len)
+        |SELECT seq_len, n_docs, total_tokens, n_seqs,
+        |  round(CAST(total_tokens AS DOUBLE) / (n_seqs * seq_len), 4)
+        |    AS utilization
+        |FROM g ORDER BY seq_len""".stripMargin)
 }
