@@ -110,9 +110,15 @@ object Oracle13 {
     // q46's banding CTEs + a bucket-size gate: pairs may only come
     // from buckets holding <= MaxBucket docs (the same population the
     // Spark side's collect_list size() filter sees)
+    // `bucket IS NOT NULL` mirrors the Spark side's
+    // filter(s0.isNotNull): a doc with NULL text (no shingles) has a
+    // NULL bucket in the SQL banding and must not form a counted
+    // group (q143's equi-join already excludes it; q144's profile
+    // would otherwise count one phantom bucket per band)
     "q143_capped_lsh_pairs" ->
       s"""WITH ${OracleExt.lshBandCtes},
          |bsz AS (SELECT band, bucket, count(*) AS bn FROM bands
+         |  WHERE bucket IS NOT NULL
          |  GROUP BY band, bucket),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -127,6 +133,7 @@ object Oracle13 {
     "q144_lsh_bucket_profile" ->
       s"""WITH ${OracleExt.lshBandCtes},
          |bsz AS (SELECT band, bucket, count(*) AS bn FROM bands
+         |  WHERE bucket IS NOT NULL
          |  GROUP BY band, bucket)
          |SELECT band, count(*) AS n_buckets, max(bn) AS max_bucket,
          |  CAST(sum(CASE WHEN bn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_buckets,
@@ -142,7 +149,7 @@ object Oracle13 {
       s"""WITH v AS (SELECT DISTINCT event_type, user_id FROM events
          |  WHERE user_id IS NOT NULL),
          |h AS (SELECT event_type,
-         |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |    ${OracleExt.md5long("CAST(user_id AS VARCHAR)")} AS h
          |  FROM v),
          |r AS (SELECT event_type, h % 256 AS idx, h // 256 AS w FROM h),
          |reg AS (SELECT event_type, idx,

@@ -22,9 +22,7 @@ object Queries15 {
   import Tables._
 
   private def rtDir(fmt: String, d: String): String =
-    s"/root/repo/target/roundtrip/${fmt}_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
-      ProcessHandle.current().pid()
+    Tables.scratchDir(fmt, d)
 
   /** q150 — ORC SOURCE. Customers exported to ORC, read back under an
     * explicit StructType (schema-on-read declared, like S1's parquet
@@ -48,7 +46,8 @@ object Queries15 {
           .cast("double").as("total_acctbal"),
         min(col("c_name")).as("first_name"),
         max(col("c_name")).as("last_name"))
-      .orderBy(col("c_mktsegment"))
+      // asc_nulls_last = DuckDB's default NULL ordering
+      .orderBy(col("c_mktsegment").asc_nulls_last)
   }
 
   /** q151 — TYPED-AGGREGATOR TOP-K (bounded-buffer form of q129). */
@@ -64,7 +63,9 @@ object Queries15 {
       .select(col("lang"), posexplode(col("top.items")).as(Seq("pos", "p")))
       .select(col("lang"), col("p._1").as("doc_id"),
         col("p._2").as("n_chars"), (col("pos") + 1).cast("int").as("rnk"))
-      .orderBy(col("lang"), col("rnk"))
+      // asc_nulls_last: a NULL lang group must sort where the q129
+      // oracle's ORDER BY puts it (DuckDB defaults NULLS LAST)
+      .orderBy(col("lang").asc_nulls_last, col("rnk"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -24,9 +24,7 @@ object Queries16 {
   import Tables._
 
   private def wDir(tag: String, d: String): String =
-    s"/root/repo/target/lakeops/${tag}_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
-      ProcessHandle.current().pid()
+    Tables.scratchDir(tag, d)
 
   /** q152 — SMALL-FILE COMPACTION. Fragment `orders` into 64 files
     * (the streaming-ingest pathology: one file per micro-batch per
@@ -137,11 +135,11 @@ object Oracle16 {
     // both stages must report identical rows/checksum (layout-only
     // rewrite), and layout_ok is true on both rows
     "q152_compaction" ->
-      """WITH c AS (SELECT count(*) AS n_rows,
-        |    CAST(sum(CAST(CAST('0x' || substring(md5(concat_ws('|',
-        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-        |      o_orderstatus)), 1, 15)
-        |      AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS content_sum,
+      s"""WITH c AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(${OracleExt.md5long(
+             "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+               "CAST(o_custkey AS VARCHAR), o_orderstatus)")}
+        |      AS DECIMAL(38,0))) AS VARCHAR) AS content_sum,
         |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4)
         |      AS DOUBLE) AS total_price
         |  FROM orders)

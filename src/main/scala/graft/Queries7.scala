@@ -99,9 +99,7 @@ object Queries7 {
     * Tables.events); concurrent suites land on different pids.
     */
   private def rtDir(fmt: String, d: String): String =
-    s"/root/repo/target/roundtrip/${fmt}_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
-      ProcessHandle.current().pid()
+    Tables.scratchDir(fmt, d)
 
   /** q115 — CSV SOURCE. Dims exported as header CSV, read back under
     * an explicit StructType (no inference — schema-on-read is

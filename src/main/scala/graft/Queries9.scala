@@ -225,7 +225,9 @@ object Queries9 {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .orderBy(col("lang"), col("rnk"))
+      // asc_nulls_last = DuckDB's default NULL ordering (round-6
+      // null-safety sweep; lang is nullable in the schema)
+      .orderBy(col("lang").asc_nulls_last, col("rnk"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -348,7 +348,12 @@ object OracleExt {
   private[graft] def allStopwordsIn: String =
     inList(Text.stopwords.values.flatten.toSeq)
 
-  private def md5long(e: String): String =
+  /** The repo's shared 60-bit md5 projection in DuckDB SQL —
+    * private[graft] (like lshBandCtes) so later oracles splice the ONE
+    * formula instead of re-inlining it (Text.md5Long is the Spark
+    * twin; the two must change together or every hash oracle breaks).
+    */
+  private[graft] def md5long(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
 
   /** DuckDB mirror of Text.shingles(text, 3): Spark emits

@@ -19,6 +19,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Per-process scratch dir for queries that WRITE (round-trip
+    * sources q115/q116/q150, lake ops q152/q153): pid-suffixed so
+    * concurrent runs against the same sf dir never collide — the one
+    * path-construction convention, shared by every writer.
+    */
+  private[graft] def scratchDir(tag: String, d: String): String =
+    s"/root/repo/target/roundtrip/${tag}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
+      ProcessHandle.current().pid()
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
