@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round-6 batch 5: the two lakehouse maintenance operations missing
-  * from the S5/S6/X38 story — compaction and schema evolution.
+/** Round-6 batch 5: lakehouse maintenance + two more curation audits.
   *
   *  - q152 small-file compaction: the nightly OPTIMIZE every parquet
   *    lake runs — rewrite a fragmented table region into target-size
@@ -19,6 +18,10 @@ import org.apache.spark.sql.types._
   *    explicit NULL column over the originals — hash parity proves
   *    the evolved read is exactly "old rows get NULL", no silent
   *    coercion.
+  *  - q154 packing-efficiency report: the per-seq-len padding-waste
+  *    numbers that pick L before a q103 packing run.
+  *  - q155 maximal recycled spans: contiguous chunk runs per doc pair
+  *    (exact-substring dedup at chunk granularity, q132's sibling).
   */
 object Queries16 {
   import Tables._
@@ -122,10 +125,63 @@ object Queries16 {
           (col("n_seqs") * col("seq_len")), 4).as("utilization"))
       .orderBy(col("seq_len"))
 
+  /** q155 — MAXIMAL RECYCLED SPANS. q132 reports WHICH 50-token
+    * chunks recur; this reports the CONTIGUOUS RUNS they form per doc
+    * pair — the chunk-granular form of exact-substring dedup
+    * (long shared spans are the strongest duplication signal a
+    * substring dedup pass removes; a single shared chunk is often a
+    * quote). Chunks carry their position; a pair's matches on one
+    * diagonal (bi − ai constant) with consecutive positions form a
+    * span (gaps-and-islands via pos − row_number); pairs with a span
+    * of ≥ 2 chunks (≥ 40 contiguous recycled tokens at the 20-token
+    * granularity — sized to the corpus' 10-99-token docs; a web-scale
+    * run uses 50-token chunks like q132) are reported.
+    *
+    * Scale: fingerprint-keyed equi-join (never all-pairs, text never
+    * shuffles — 16-byte md5 + two ints per chunk); per-pair span
+    * assembly is a partition-local window. A boilerplate mega-chunk
+    * would fan out quadratically on its fingerprint — the production
+    * run applies the q102/q143 df-cap move to the fp postings first
+    * (drop fingerprints shared by more than K docs; they are
+    * boilerplate, not plagiarism).
+    */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = 20
+    val chunks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / ct).cast("int")),
+          i => md5(array_join(slice(col("toks"), i * ct + 1, lit(ct)), " "))))
+          .as(Seq("pos", "fp")))
+    val pairs = chunks
+      .select(col("doc_id").as("a_id"), col("pos").as("ai"), col("fp"))
+      .join(chunks.select(col("doc_id").as("b_id"), col("pos").as("bi"),
+        col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ai"),
+        (col("bi") - col("ai")).as("diag"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("ai"))
+    pairs.withColumn("grp", col("ai") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("span_chunks"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("span_chunks")).as("n_aligned_chunks"),
+        max(col("span_chunks")).as("max_span_chunks"))
+      .filter(col("max_span_chunks") >= 2)
+      .select(col("a_id"), col("b_id"), col("n_aligned_chunks"),
+        col("max_span_chunks"),
+        (col("max_span_chunks") * ct).as("max_span_tokens"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_compaction" -> (q152 _),
     "q153_schema_evolution" -> (q153 _),
-    "q154_packing_efficiency" -> (q154 _))
+    "q154_packing_efficiency" -> (q154 _),
+    "q155_dup_spans" -> (q155 _))
 }
 
 object Oracle16 {
@@ -174,5 +230,32 @@ object Oracle16 {
         |SELECT seq_len, n_docs, total_tokens, n_seqs,
         |  round(CAST(total_tokens AS DOUBLE) / (n_seqs * seq_len), 4)
         |    AS utilization
-        |FROM g ORDER BY seq_len""".stripMargin)
+        |FROM g ORDER BY seq_len""".stripMargin,
+
+    // same chunk CTE as q132's oracle; spans via the standard
+    // gaps-and-islands (pos − row_number per (pair, diagonal))
+    "q155_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents),
+        |ch AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[(i*20)+1:(i*20)+20], ' ')) AS fp
+        |  FROM t, LATERAL unnest(range(0,
+        |    ((len(toks) - 1) // 20) + 1)) AS r(i)),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ai,
+        |    b.pos - a.pos AS diag
+        |  FROM ch a JOIN ch b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |isl AS (SELECT a_id, b_id, diag, ai,
+        |    ai - row_number() OVER (PARTITION BY a_id, b_id, diag
+        |      ORDER BY ai) AS grp
+        |  FROM p),
+        |sp AS (SELECT a_id, b_id, diag, grp, count(*) AS span_chunks
+        |  FROM isl GROUP BY a_id, b_id, diag, grp),
+        |o AS (SELECT a_id, b_id,
+        |    CAST(sum(span_chunks) AS BIGINT) AS n_aligned_chunks,
+        |    CAST(max(span_chunks) AS BIGINT) AS max_span_chunks
+        |  FROM sp GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, n_aligned_chunks, max_span_chunks,
+        |  max_span_chunks * 20 AS max_span_tokens
+        |FROM o WHERE max_span_chunks >= 2
+        |ORDER BY a_id, b_id""".stripMargin)
 }
