@@ -137,40 +137,15 @@ object Queries16 {
     * granularity — sized to the corpus' 10-99-token docs; a web-scale
     * run uses 50-token chunks like q132) are reported.
     *
-    * Scale: fingerprint-keyed equi-join (never all-pairs, text never
-    * shuffles — 16-byte md5 + two ints per chunk); per-pair span
-    * assembly is a partition-local window. A boilerplate mega-chunk
-    * would fan out quadratically on its fingerprint — the production
-    * run applies the q102/q143 df-cap move to the fp postings first
-    * (drop fingerprints shared by more than K docs; they are
-    * boilerplate, not plagiarism).
+    * Scale: see operators/Dedup.dupSpans (the reusable operator this
+    * query declares) — fingerprint-keyed equi-join, partition-local
+    * span windows, and a `maxDf` cap for boilerplate mega-chunks (off
+    * in the exact declared form, per the q102/q143 convention).
     */
   def q155(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ct = 20
-    val chunks = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("toks")) - 1) / ct).cast("int")),
-          i => md5(array_join(slice(col("toks"), i * ct + 1, lit(ct)), " "))))
-          .as(Seq("pos", "fp")))
-    val pairs = chunks
-      .select(col("doc_id").as("a_id"), col("pos").as("ai"), col("fp"))
-      .join(chunks.select(col("doc_id").as("b_id"), col("pos").as("bi"),
-        col("fp")), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ai"),
-        (col("bi") - col("ai")).as("diag"))
-    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
-      .orderBy(col("ai"))
-    pairs.withColumn("grp", col("ai") - row_number().over(w))
-      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("span_chunks"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("span_chunks")).as("n_aligned_chunks"),
-        max(col("span_chunks")).as("max_span_chunks"))
-      .filter(col("max_span_chunks") >= 2)
+    graft.operators.Dedup.dupSpans(documents(s, d), col("text"),
+        col("doc_id"), chunkTokens = ct, minSpanChunks = 2)
       .select(col("a_id"), col("b_id"), col("n_aligned_chunks"),
         col("max_span_chunks"),
         (col("max_span_chunks") * ct).as("max_span_tokens"))

@@ -397,6 +397,61 @@ object Dedup {
     leaves.unionByName(centers)
   }
 
+  /** Maximal recycled chunk SPANS per document pair — the
+    * chunk-granular form of exact-substring dedup (long contiguous
+    * shared runs are duplication; an isolated shared chunk is often a
+    * quote). Non-overlapping `chunkTokens`-token chunks carry their
+    * position; matches of a pair on one diagonal (posB − posA
+    * constant) with consecutive positions form a span
+    * (gaps-and-islands via pos − row_number). Returns one row per
+    * pair with a span of ≥ `minSpanChunks` chunks: (a_id, b_id,
+    * n_aligned_chunks, max_span_chunks).
+    *
+    * Scale: fingerprint-keyed equi-join — text never shuffles, only a
+    * 16-byte md5 + two ints per chunk; span assembly is a
+    * partition-local window per (pair, diagonal). `maxDf > 0` drops
+    * chunk fingerprints shared by more than that many documents
+    * BEFORE pairing (the ngramPairStats/lshCandidates cap): a
+    * boilerplate mega-chunk is the one input that makes the join
+    * quadratic, and it carries no plagiarism signal.
+    */
+  def dupSpans(df: DataFrame, text: Column, id: Column, chunkTokens: Int,
+      minSpanChunks: Int, maxDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - 1) / chunkTokens).cast("int")),
+          i => md5(array_join(
+            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+          .as(Seq("pos", "fp")))
+    val kept =
+      if (maxDf > 0) {
+        val dfc = chunks.select(col("doc_id"), col("fp")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+          .filter(col("fp_df") <= maxDf)
+        chunks.join(dfc.select(col("fp")), Seq("fp"))
+      } else chunks
+    val pairs = kept
+      .select(col("doc_id").as("a_id"), col("pos").as("ai"), col("fp"))
+      .join(kept.select(col("doc_id").as("b_id"), col("pos").as("bi"),
+        col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ai"),
+        (col("bi") - col("ai")).as("diag"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("ai"))
+    pairs.withColumn("grp", col("ai") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("span_chunks"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("span_chunks")).as("n_aligned_chunks"),
+        max(col("span_chunks")).as("max_span_chunks"))
+      .filter(col("max_span_chunks") >= minSpanChunks)
+  }
+
   /** Per-document SimHash bit fingerprint (as a bit string of length
     * `bits`). Near-dups differ in few bits; pair generation at scale
     * buckets on bit-band substrings exactly like minhash LSH.

@@ -247,6 +247,36 @@ class TextVectorsSpec extends SparkSpec {
       s"profile should report the 6-deep over-cap bucket per band: $prof")
   }
 
+  test("dupSpans: finds the planted contiguous run; maxDf drops the boilerplate chunk") {
+    import graft.operators.Dedup
+    // docs 1/2 share a 6-token run (3 aligned 2-token chunks at the
+    // same diagonal); docs 10-13 all open with the same boilerplate
+    // 2-token chunk ("subscribe now"), which is df=4 noise, not a run
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, run + " one two"),
+      (2L, run + " three four"),
+      (10L, "subscribe now aa bb"),
+      (11L, "subscribe now cc dd"),
+      (12L, "subscribe now ee ff"),
+      (13L, "subscribe now gg hh")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, $"text", $"doc_id",
+        chunkTokens = 2, minSpanChunks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("max_span_chunks"))).toSet
+    assert(spans == Set((1L, 2L, 3L)), s"expected the 3-chunk run: $spans")
+    // uncapped, the boilerplate chunk still proposes single-chunk
+    // alignments (filtered by minSpanChunks) — but with minSpanChunks=1
+    // it emits all 6 boilerplate pairs; a df cap of 3 removes them
+    // while the genuine run (df=2) survives
+    val all1 = Dedup.dupSpans(docs, $"text", $"doc_id", 2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all1.size == 1 + 6, s"expected run pair + 6 boilerplate pairs: $all1")
+    val capped = Dedup.dupSpans(docs, $"text", $"doc_id", 2, 1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"cap should keep only the real run: $capped")
+  }
+
   test("q143's band-bucket cap is answer-invisible at sf0.1 (no bucket hits it)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
