@@ -125,30 +125,30 @@ object Queries16 {
           (col("n_seqs") * col("seq_len")), 4).as("utilization"))
       .orderBy(col("seq_len"))
 
-  /** q155 — MAXIMAL RECYCLED SPANS. q132 reports WHICH 50-token
-    * chunks recur; this reports the CONTIGUOUS RUNS they form per doc
-    * pair — the chunk-granular form of exact-substring dedup
-    * (long shared spans are the strongest duplication signal a
-    * substring dedup pass removes; a single shared chunk is often a
-    * quote). Chunks carry their position; a pair's matches on one
-    * diagonal (bi − ai constant) with consecutive positions form a
-    * span (gaps-and-islands via pos − row_number); pairs with a span
-    * of ≥ 2 chunks (≥ 40 contiguous recycled tokens at the 20-token
-    * granularity — sized to the corpus' 10-99-token docs; a web-scale
-    * run uses 50-token chunks like q132) are reported.
+  /** q155 — MAXIMAL RECYCLED SPANS (exact-substring dedup,
+    * Dedup.dupSpans). 20-token SLIDING windows (stride 1) make
+    * detection shift-invariant — a copied passage is found wherever
+    * it starts in either doc — and the reported
+    * max_span_tokens = max_span_windows + 19 is the TRUE length of
+    * the longest shared contiguous run (a run of L tokens yields
+    * exactly L−19 consecutive window matches). Pairs sharing a run of
+    * ≥ 40 contiguous tokens (≥ 21 windows) are reported.
     *
-    * Scale: see operators/Dedup.dupSpans (the reusable operator this
-    * query declares) — fingerprint-keyed equi-join, partition-local
-    * span windows, and a `maxDf` cap for boilerplate mega-chunks (off
-    * in the exact declared form, per the q102/q143 convention).
+    * Scale: see operators/Dedup.dupSpans — fingerprint-keyed
+    * equi-join (~|tokens| window rows per doc, the ngram-index
+    * envelope), partition-local span windows, and a `maxDf` cap for
+    * boilerplate mega-windows (off in the exact declared form, per
+    * the q102/q143 convention).
     */
   def q155(s: SparkSession, d: String): DataFrame = {
-    val ct = 20
+    val wt = 20
+    val minRunTokens = 40
     graft.operators.Dedup.dupSpans(documents(s, d), col("text"),
-        col("doc_id"), chunkTokens = ct, minSpanChunks = 2)
-      .select(col("a_id"), col("b_id"), col("n_aligned_chunks"),
-        col("max_span_chunks"),
-        (col("max_span_chunks") * ct).as("max_span_tokens"))
+        col("doc_id"), windowTokens = wt,
+        minSpanWindows = minRunTokens - wt + 1)
+      .select(col("a_id"), col("b_id"), col("n_aligned_windows"),
+        col("max_span_windows"),
+        (col("max_span_windows") + (wt - 1)).as("max_span_tokens"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -207,30 +207,31 @@ object Oracle16 {
         |    AS utilization
         |FROM g ORDER BY seq_len""".stripMargin,
 
-    // same chunk CTE as q132's oracle; spans via the standard
-    // gaps-and-islands (pos − row_number per (pair, diagonal))
+    // stride-1 sliding windows (clamped for sub-window docs, the
+    // Text.shingles convention); spans via gaps-and-islands per
+    // (pair, diagonal); span + 19 = the TRUE maximal run length
     "q155_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |    FROM documents),
-        |ch AS (SELECT doc_id, i AS pos,
-        |    md5(array_to_string(toks[(i*20)+1:(i*20)+20], ' ')) AS fp
+        |wn AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i+1:i+20], ' ')) AS fp
         |  FROM t, LATERAL unnest(range(0,
-        |    ((len(toks) - 1) // 20) + 1)) AS r(i)),
+        |    greatest(len(toks) - 20, 0) + 1)) AS r(i)),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ai,
         |    b.pos - a.pos AS diag
-        |  FROM ch a JOIN ch b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |  FROM wn a JOIN wn b ON a.fp = b.fp AND a.doc_id < b.doc_id),
         |isl AS (SELECT a_id, b_id, diag, ai,
         |    ai - row_number() OVER (PARTITION BY a_id, b_id, diag
         |      ORDER BY ai) AS grp
         |  FROM p),
-        |sp AS (SELECT a_id, b_id, diag, grp, count(*) AS span_chunks
+        |sp AS (SELECT a_id, b_id, diag, grp, count(*) AS span_windows
         |  FROM isl GROUP BY a_id, b_id, diag, grp),
         |o AS (SELECT a_id, b_id,
-        |    CAST(sum(span_chunks) AS BIGINT) AS n_aligned_chunks,
-        |    CAST(max(span_chunks) AS BIGINT) AS max_span_chunks
+        |    CAST(sum(span_windows) AS BIGINT) AS n_aligned_windows,
+        |    CAST(max(span_windows) AS BIGINT) AS max_span_windows
         |  FROM sp GROUP BY a_id, b_id)
-        |SELECT a_id, b_id, n_aligned_chunks, max_span_chunks,
-        |  max_span_chunks * 20 AS max_span_tokens
-        |FROM o WHERE max_span_chunks >= 2
+        |SELECT a_id, b_id, n_aligned_windows, max_span_windows,
+        |  max_span_windows + 19 AS max_span_tokens
+        |FROM o WHERE max_span_windows >= 21
         |ORDER BY a_id, b_id""".stripMargin)
 }

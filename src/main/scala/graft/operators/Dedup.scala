@@ -397,43 +397,52 @@ object Dedup {
     leaves.unionByName(centers)
   }
 
-  /** Maximal recycled chunk SPANS per document pair — the
-    * chunk-granular form of exact-substring dedup (long contiguous
-    * shared runs are duplication; an isolated shared chunk is often a
-    * quote). Non-overlapping `chunkTokens`-token chunks carry their
+  /** Maximal recycled token SPANS per document pair — exact-substring
+    * dedup over `windowTokens`-token SLIDING windows (stride 1, the
+    * Text.shingles positional convention: a doc shorter than the
+    * window yields its one clamped window). Every window carries its
     * position; matches of a pair on one diagonal (posB − posA
-    * constant) with consecutive positions form a span
-    * (gaps-and-islands via pos − row_number). Returns one row per
-    * pair with a span of ≥ `minSpanChunks` chunks: (a_id, b_id,
-    * n_aligned_chunks, max_span_chunks).
+    * constant) with consecutive positions form a span. Stride 1 makes
+    * detection SHIFT-INVARIANT — a copied passage is found wherever
+    * it starts in either document (a fixed non-overlapping chunking
+    * like q132's misses any copy not aligned to a chunk boundary) —
+    * and makes the token arithmetic exact: a shared contiguous run of
+    * L ≥ windowTokens tokens produces exactly L − windowTokens + 1
+    * consecutive window matches, so span_tokens = span_windows +
+    * windowTokens − 1 is the TRUE maximal run length, not an
+    * upper-rounded chunk multiple. Returns one row per pair whose
+    * longest span has ≥ `minSpanWindows` windows: (a_id, b_id,
+    * n_aligned_windows, max_span_windows).
     *
     * Scale: fingerprint-keyed equi-join — text never shuffles, only a
-    * 16-byte md5 + two ints per chunk; span assembly is a
-    * partition-local window per (pair, diagonal). `maxDf > 0` drops
-    * chunk fingerprints shared by more than that many documents
-    * BEFORE pairing (the ngramPairStats/lshCandidates cap): a
-    * boilerplate mega-chunk is the one input that makes the join
-    * quadratic, and it carries no plagiarism signal.
+    * 16-byte md5 + two ints per window; stride 1 costs ~|tokens| rows
+    * per doc (the same envelope as the ngram inverted index, not a
+    * blowup); span assembly is a partition-local window per
+    * (pair, diagonal). `maxDf > 0` drops window fingerprints shared
+    * by more than that many documents BEFORE pairing (the
+    * ngramPairStats/lshCandidates cap): a boilerplate mega-window is
+    * the one input that makes the join quadratic, and it carries no
+    * plagiarism signal.
     */
-  def dupSpans(df: DataFrame, text: Column, id: Column, chunkTokens: Int,
-      minSpanChunks: Int, maxDf: Int = 0): DataFrame = {
+  def dupSpans(df: DataFrame, text: Column, id: Column, windowTokens: Int,
+      minSpanWindows: Int, maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = df
+    val wins = df
       .select(id.as("doc_id"), split(text, " ").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
-            floor((size(col("toks")) - 1) / chunkTokens).cast("int")),
+            greatest(size(col("toks")) - windowTokens, lit(0))),
           i => md5(array_join(
-            slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+            slice(col("toks"), i + 1, lit(windowTokens)), " "))))
           .as(Seq("pos", "fp")))
     val kept =
       if (maxDf > 0) {
-        val dfc = chunks.select(col("doc_id"), col("fp")).distinct()
+        val dfc = wins.select(col("doc_id"), col("fp")).distinct()
           .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
           .filter(col("fp_df") <= maxDf)
-        chunks.join(dfc.select(col("fp")), Seq("fp"))
-      } else chunks
+        wins.join(dfc.select(col("fp")), Seq("fp"))
+      } else wins
     val pairs = kept
       .select(col("doc_id").as("a_id"), col("pos").as("ai"), col("fp"))
       .join(kept.select(col("doc_id").as("b_id"), col("pos").as("bi"),
@@ -445,11 +454,11 @@ object Dedup {
       .orderBy(col("ai"))
     pairs.withColumn("grp", col("ai") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("span_chunks"))
+      .agg(count(lit(1)).as("span_windows"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("span_chunks")).as("n_aligned_chunks"),
-        max(col("span_chunks")).as("max_span_chunks"))
-      .filter(col("max_span_chunks") >= minSpanChunks)
+      .agg(sum(col("span_windows")).as("n_aligned_windows"),
+        max(col("span_windows")).as("max_span_windows"))
+      .filter(col("max_span_windows") >= minSpanWindows)
   }
 
   /** Per-document SimHash bit fingerprint (as a bit string of length

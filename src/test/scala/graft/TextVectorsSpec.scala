@@ -247,28 +247,29 @@ class TextVectorsSpec extends SparkSpec {
       s"profile should report the 6-deep over-cap bucket per band: $prof")
   }
 
-  test("dupSpans: finds the planted contiguous run; maxDf drops the boilerplate chunk") {
+  test("dupSpans: shift-invariant spans, exact run length, maxDf drops boilerplate") {
     import graft.operators.Dedup
-    // docs 1/2 share a 6-token run (3 aligned 2-token chunks at the
-    // same diagonal); docs 10-13 all open with the same boilerplate
-    // 2-token chunk ("subscribe now"), which is df=4 noise, not a run
+    // docs 1/2 share a 6-token run at DIFFERENT offsets (doc 2 has a
+    // 1-token prefix — the case fixed-chunk dedup misses entirely);
+    // stride-1 windows of 2 tokens see 5 consecutive matches on one
+    // diagonal: the exact 6-token run length is 5 + (2-1)
     val run = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
       (1L, run + " one two"),
-      (2L, run + " three four"),
+      (2L, "intro " + run + " three four"),
       (10L, "subscribe now aa bb"),
       (11L, "subscribe now cc dd"),
       (12L, "subscribe now ee ff"),
       (13L, "subscribe now gg hh")).toDF("doc_id", "text")
     val spans = Dedup.dupSpans(docs, $"text", $"doc_id",
-        chunkTokens = 2, minSpanChunks = 2)
+        windowTokens = 2, minSpanWindows = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getAs[Long]("max_span_chunks"))).toSet
-    assert(spans == Set((1L, 2L, 3L)), s"expected the 3-chunk run: $spans")
-    // uncapped, the boilerplate chunk still proposes single-chunk
-    // alignments (filtered by minSpanChunks) — but with minSpanChunks=1
-    // it emits all 6 boilerplate pairs; a df cap of 3 removes them
-    // while the genuine run (df=2) survives
+        r.getAs[Long]("max_span_windows"))).toSet
+    assert(spans == Set((1L, 2L, 5L)),
+      s"expected the shifted 5-window run: $spans")
+    // with minSpanWindows=1 the df=4 boilerplate window ("subscribe
+    // now") emits all 6 pairs; a df cap of 3 removes them while the
+    // genuine run (df=2 windows) survives
     val all1 = Dedup.dupSpans(docs, $"text", $"doc_id", 2, 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all1.size == 1 + 6, s"expected run pair + 6 boilerplate pairs: $all1")
