@@ -134,13 +134,31 @@ object Dedup {
     * disk, so a day's ingest probes only the buckets it lands in —
     * cost tracks the BATCH, not the corpus.
     */
+  /** `maxBucket > 0` caps the EXISTING side's bucket population (the
+    * lshCandidates cap applied to the probe shape): a boilerplate
+    * mega-bucket in the accumulated corpus would otherwise multiply
+    * every incoming doc that lands in it by the full bucket depth.
+    * Incoming-side buckets are batch-bounded by construction and stay
+    * uncapped.
+    */
   def lshLookup(existing: DataFrame, incoming: DataFrame, text: Column,
-      id: Column, n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+      id: Column, n: Int, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val ex0 = bandedSignatures(existing, text, id, n, bands, rowsPerBand, "ex_id")
+    val ex =
+      if (maxBucket > 0) {
+        import org.apache.spark.sql.expressions.Window
+        // bucket population via a window over the same (band, bucket)
+        // shuffle the join needs — no extra aggregate pass
+        ex0.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      } else ex0
     bandedSignatures(incoming, text, id, n, bands, rowsPerBand, "in_id")
-      .join(bandedSignatures(existing, text, id, n, bands, rowsPerBand, "ex_id"),
-        Seq("band", "bucket"))
+      .join(ex, Seq("band", "bucket"))
       .select(col("in_id"), col("ex_id"))
       .distinct()
+  }
 
   /** lshLookup + Levenshtein precision verify: the full incremental
     * ingest dedup operator (LSH recall against the corpus, then the

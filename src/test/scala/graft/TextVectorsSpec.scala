@@ -278,6 +278,32 @@ class TextVectorsSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)), s"cap should keep only the real run: $capped")
   }
 
+  test("lshLookup maxBucket bounds a corpus mega-bucket, keeps sparse matches") {
+    import graft.operators.Dedup
+    // corpus: 6 identical boilerplate docs (one mega-bucket per band)
+    // + 1 ordinary doc; the incoming batch contains a near-dup of the
+    // ordinary doc and a copy of the boilerplate. The capped probe
+    // must still find the ordinary match (sparse buckets) while the
+    // boilerplate probe stops fanning out to all 6 corpus copies.
+    val boiler = "subscribe to our newsletter for the latest updates and offers today"
+    val real = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = ((0L until 6L).map(i => (i, boiler)) :+ (50L, real))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, boiler), (101L, real + " x"))
+      .toDF("doc_id", "text")
+    def probe(maxBucket: Int): Set[(Long, Long)] =
+      Dedup.lshLookup(corpus, incoming, $"text", $"doc_id", 3, 4, 2,
+          maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = probe(0)
+    assert(uncapped.contains((101L, 50L)) &&
+      (0L until 6L).forall(i => uncapped.contains((100L, i))),
+      s"uncapped probe should see all matches: $uncapped")
+    val capped = probe(4)
+    assert(capped == Set((101L, 50L)),
+      s"cap should keep only the sparse-bucket match: $capped")
+  }
+
   test("q143's band-bucket cap is answer-invisible at sf0.1 (no bucket hits it)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
