@@ -152,11 +152,31 @@ object Queries16 {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q156 — DEDUP CLUSTER-SIZE HISTOGRAM. The corpus-health report
+    * over q62's near-dup clusters: how many clusters of each size,
+    * how many docs they hold, and how many a keep-one-per-cluster
+    * dedup would remove. The report every dedup run ends with (the
+    * removal number IS the run's headline).
+    *
+    * Scale: rides the materialized LshStages cluster stage (shared
+    * with q62/q77); two bounded aggregates on top — cluster count,
+    * then |distinct sizes| rows. Nothing new shuffles text.
+    */
+  def q156(s: SparkSession, d: String): DataFrame =
+    LshStages.clusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .orderBy(col("cluster_size"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_compaction" -> (q152 _),
     "q153_schema_evolution" -> (q153 _),
     "q154_packing_efficiency" -> (q154 _),
-    "q155_dup_spans" -> (q155 _))
+    "q155_dup_spans" -> (q155 _),
+    "q156_cluster_histogram" -> (q156 _))
 }
 
 object Oracle16 {
@@ -233,5 +253,25 @@ object Oracle16 {
         |SELECT a_id, b_id, n_aligned_windows, max_span_windows,
         |  max_span_windows + 19 AS max_span_tokens
         |FROM o WHERE max_span_windows >= 21
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q62's recursive-CTE connected components, histogrammed
+    "q156_cluster_histogram" ->
+      s"""WITH RECURSIVE ${OracleExt.lshPairCtes},
+         |und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS n FROM und),
+         |walk(n, lbl) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT und.dst, walk.lbl FROM walk JOIN und ON walk.n = und.src
+         |  WHERE walk.lbl < und.dst
+         |),
+         |cc AS (SELECT n, min(lbl) AS cluster_id FROM walk GROUP BY n),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM cc
+         |  GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM cs GROUP BY sz ORDER BY sz""".stripMargin)
 }
