@@ -118,8 +118,10 @@ object Queries16 {
       .groupBy(col("seq_len"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
-        sum(((col("n_tok") + col("seq_len") - 1) / col("seq_len"))
-          .cast("long")).as("n_seqs"))
+        // integer `div`, not double `/` + cast: exact for ANY seq_len
+        // (the double path only matched the oracle's `//` because
+        // 512/1024/2048 are powers of two — binary-exact division)
+        sum(expr("(n_tok + seq_len - 1) div seq_len")).as("n_seqs"))
       .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("n_seqs"),
         round(col("total_tokens").cast("double") /
           (col("n_seqs") * col("seq_len")), 4).as("utilization"))

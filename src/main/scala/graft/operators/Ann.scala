@@ -71,19 +71,29 @@ object Ann {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
-      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 4,
+      fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
     val withVec = emb.withColumn("__vec",
       array_to_vector(col(vecCol).cast("array<double>")))
     // few Lloyd rounds: the index only needs a REASONABLE partition
     // (recall is bought with nProbe, and the full-probe correctness
-    // anchor is invariant to clustering quality); a production build
-    // fits on a sample once and reuses the centroids across queries
+    // anchor is invariant to clustering quality). At 100 TB the
+    // centroid fit runs on a SAMPLE (fitFraction < 1): k centroids
+    // need k·O(1e3) points, not the corpus — assignment below still
+    // covers every vector, so fitFraction touches recall only through
+    // partition quality (AnnRecallSpec bounds the loss at 0.25)
+    val fitInput =
+      if (fitFraction < 1.0) withVec.sample(withReplacement = false,
+        fitFraction, seed)
+      else withVec
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("__cluster")
-      .fit(withVec)
+      .fit(fitInput)
     val assigned = model.transform(withVec)
     val probeVec = probe.withColumn("__vec",
       array_to_vector(col("probe_emb").cast("array<double>")))

@@ -106,4 +106,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls.map(_._2) == recalls.map(_._2).sorted,
       s"IVF recall not monotone in nProbe: $recalls")
   }
+
+  test("IVF: sample-based centroid fit (fitFraction=0.25) keeps bounded recall@10") {
+    // the 100 TB mode: KMeans fits on a 25% sample, assignment still
+    // covers every vector. Partition quality degrades at most mildly —
+    // mean recall@10 at nProbe=4 must stay within 0.2 of the full fit
+    // (and full probing stays exact regardless of where centroids sit)
+    val emb = Tables.embeddings(spark, sf001)
+    def meanRecall(fitFrac: Double): Double = {
+      val rs = probeIds.map { pid =>
+        val probe = emb.filter($"vec_id" === pid).select($"embedding".as("probe_emb"))
+        val scan = emb.filter($"vec_id" =!= pid)
+        val exact = topIds(Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, k))
+        val ids = topIds(Ann.ivfTopK(scan, "vec_id", "embedding", probe,
+          k = k, nCentroids = 8, nProbe = 4, fitFraction = fitFrac))
+        (ids & exact).size.toDouble / k
+      }
+      rs.sum / rs.size
+    }
+    val full = meanRecall(1.0)
+    val sampled = meanRecall(0.25)
+    info(f"IVF recall@10 at nProbe=4/8: full-fit=$full%.2f, 0.25-sample fit=$sampled%.2f")
+    assert(sampled >= full - 0.2,
+      f"sample fit lost too much recall: $sampled%.2f vs full $full%.2f")
+    // full probing is exact even with sampled centroids (the q146
+    // soundness argument is independent of clustering quality)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
+    val scan = emb.filter($"vec_id" =!= 0)
+    val exact = topIds(Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, k))
+    val fullProbe = topIds(Ann.ivfTopK(scan, "vec_id", "embedding", probe,
+      k = k, nCentroids = 8, nProbe = 8, fitFraction = 0.25))
+    assert(fullProbe == exact, "full probing with sampled fit must equal brute force")
+  }
 }

@@ -80,9 +80,29 @@ class AqeSpec extends SparkSpec {
       // collect() (not count()) so THIS DataFrame's adaptive plan is
       // the one that runs to its final form
       assert(joined.collect().length == 200000)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
-        s"expected a skew-split join in:\n${plan.take(1500)}")
+      // structural check (not plan-string matching, which is rendering-
+      // version-dependent): walk the FINAL adaptive plan — descending
+      // through AdaptiveSparkPlanExec and QueryStageExec, which are
+      // LEAF nodes to plan.collect — and find a sort-merge join whose
+      // isSkewJoin flag is set
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def skewJoins(p: SparkPlan): Seq[SortMergeJoinExec] = {
+        val here = p match {
+          case smj: SortMergeJoinExec if smj.isSkewJoin => Seq(smj)
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(skewJoins)
+      }
+      val executed = joined.queryExecution.executedPlan
+      assert(skewJoins(executed).nonEmpty,
+        s"expected a skew-split SortMergeJoinExec in:\n${executed.toString.take(1500)}")
     } finally prior.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
