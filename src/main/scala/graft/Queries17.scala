@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch 1: the at-100× configuration of the exact-substring
+  * dedup path — the q102/q143 move applied to q155 (the round-6
+  * verdict's top next item).
+  *
+  *  - q157: q155's maximal recycled spans with the window-fingerprint
+  *    df cap (Dedup.dupSpans maxDf = 8) — the 100 TB mode that drops
+  *    boilerplate mega-windows (a window shared by thousands of docs,
+  *    e.g. a license header) BEFORE the fingerprint equi-join goes
+  *    quadratic on them. The oracle applies the same df gate, so the
+  *    at-scale configuration is itself hash-verified; at sf0.01/sf0.1
+  *    no window fingerprint reaches the cap (q158 measures it, and
+  *    ScaleOpsSpec proves invariance in-engine), so q157's rows equal
+  *    q155's — the cap is answer-invisible until a degenerate window
+  *    appears, and then it bounds the join instead of letting it
+  *    explode.
+  *  - q158: the window-df profile (Dedup.windowDfProfile) — the
+  *    measurement q157's cap is chosen from: distinct fingerprints,
+  *    hottest df, pair-generating fingerprints, and what the cap
+  *    would drop (fingerprints AND window rows). Declared + oracled
+  *    so the measurement itself is hash-verified, per the q144
+  *    convention.
+  */
+object Queries17 {
+  import Tables._
+
+  /** The declared window-df cap: far above any window fingerprint's
+    * document frequency at test scale (q158 measures the hottest; at
+    * sf0.1 it is low single digits), far below the thousands-deep
+    * boilerplate fingerprint it exists to bound.
+    */
+  val MaxWindowDf = 8
+
+  private val WindowTokens = 20
+  private val MinRunTokens = 40
+
+  /** q157 — CAPPED MAXIMAL RECYCLED SPANS (q155's pipeline with
+    * maxDf, same 20-token stride-1 windows / ≥40-token span gate).
+    */
+  def q157(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.dupSpans(documents(s, d), col("text"),
+        col("doc_id"), windowTokens = WindowTokens,
+        minSpanWindows = MinRunTokens - WindowTokens + 1,
+        maxDf = MaxWindowDf)
+      .select(col("a_id"), col("b_id"), col("n_aligned_windows"),
+        col("max_span_windows"),
+        (col("max_span_windows") + (WindowTokens - 1)).as("max_span_tokens"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** q158 — WINDOW-DF PROFILE: the measurement q157's cap is chosen
+    * from. One aggregate over the window rows; nothing quadratic.
+    */
+  def q158(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.windowDfProfile(documents(s, d), col("text"),
+      col("doc_id"), windowTokens = WindowTokens, maxDf = MaxWindowDf)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_capped_dup_spans" -> (q157 _),
+    "q158_window_df_profile" -> (q158 _))
+}
+
+object Oracle17 {
+  import Queries17.MaxWindowDf
+
+  /** q155's stride-1 window CTEs (Text.shingles clamping convention),
+    * shared by both round-7 dedup oracles.
+    */
+  private val windowCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |    FROM documents),
+      |wn AS (SELECT doc_id, i AS pos,
+      |    md5(array_to_string(toks[i+1:i+20], ' ')) AS fp
+      |  FROM t, LATERAL unnest(range(0,
+      |    greatest(len(toks) - 20, 0) + 1)) AS r(i))""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    // q155's gaps-and-islands + the SAME df gate the Spark side
+    // applies: window fingerprints in more than MaxWindowDf distinct
+    // docs are dropped BEFORE pairing
+    "q157_capped_dup_spans" ->
+      s"""WITH $windowCtes,
+         |keepfp AS (SELECT fp FROM wn
+         |  GROUP BY fp HAVING count(DISTINCT doc_id) <= $MaxWindowDf),
+         |wk AS (SELECT wn.* FROM wn JOIN keepfp USING (fp)),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS ai,
+         |    b.pos - a.pos AS diag
+         |  FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |isl AS (SELECT a_id, b_id, diag, ai,
+         |    ai - row_number() OVER (PARTITION BY a_id, b_id, diag
+         |      ORDER BY ai) AS grp
+         |  FROM p),
+         |sp AS (SELECT a_id, b_id, diag, grp, count(*) AS span_windows
+         |  FROM isl GROUP BY a_id, b_id, diag, grp),
+         |o AS (SELECT a_id, b_id,
+         |    CAST(sum(span_windows) AS BIGINT) AS n_aligned_windows,
+         |    CAST(max(span_windows) AS BIGINT) AS max_span_windows
+         |  FROM sp GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, n_aligned_windows, max_span_windows,
+         |  max_span_windows + 19 AS max_span_tokens
+         |FROM o WHERE max_span_windows >= 21
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q158_window_df_profile" ->
+      s"""WITH $windowCtes,
+         |d AS (SELECT fp, count(*) AS n_wins,
+         |    count(DISTINCT doc_id) AS fp_df
+         |  FROM wn GROUP BY fp)
+         |SELECT CAST(count(*) AS BIGINT) AS n_fps,
+         |  CAST(max(fp_df) AS BIGINT) AS max_df,
+         |  CAST(sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_fps,
+         |  CAST(sum(CASE WHEN fp_df > $MaxWindowDf THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped_fps,
+         |  CAST(sum(CASE WHEN fp_df > $MaxWindowDf THEN n_wins ELSE 0 END)
+         |    AS BIGINT) AS n_dropped_windows
+         |FROM d""".stripMargin)
+}

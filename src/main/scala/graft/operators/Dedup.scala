@@ -442,11 +442,15 @@ object Dedup {
     * the one input that makes the join quadratic, and it carries no
     * plagiarism signal.
     */
-  def dupSpans(df: DataFrame, text: Column, id: Column, windowTokens: Int,
-      minSpanWindows: Int, maxDf: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(id.as("doc_id"), split(text, " ").as("toks"))
+  /** Stride-1 sliding-window fingerprints: (doc_id, pos, fp), one row
+    * per window position (a doc shorter than the window yields its one
+    * clamped window; NULL text yields no rows). Shared by dupSpans and
+    * windowDfProfile so the capped pair path and the cap-sizing
+    * measurement see the SAME window population.
+    */
+  private def slidingWindows(df: DataFrame, text: Column, id: Column,
+      windowTokens: Int): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
@@ -454,6 +458,11 @@ object Dedup {
           i => md5(array_join(
             slice(col("toks"), i + 1, lit(windowTokens)), " "))))
           .as(Seq("pos", "fp")))
+
+  def dupSpans(df: DataFrame, text: Column, id: Column, windowTokens: Int,
+      minSpanWindows: Int, maxDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = slidingWindows(df, text, id, windowTokens)
     val kept =
       if (maxDf > 0) {
         val dfc = wins.select(col("doc_id"), col("fp")).distinct()
@@ -478,6 +487,31 @@ object Dedup {
         max(col("span_windows")).as("max_span_windows"))
       .filter(col("max_span_windows") >= minSpanWindows)
   }
+
+  /** Window-fingerprint document-frequency profile — the measurement
+    * `dupSpans(maxDf)` is sized from, exactly as lshBucketProfile
+    * sizes lshCandidates(maxBucket). One row: total distinct window
+    * fingerprints, the hottest fingerprint's document frequency, how
+    * many fingerprints appear in more than one doc (the pair-
+    * generating population), and what a given cap would drop — both
+    * as fingerprints and as window ROWS (the join-input reduction,
+    * which is what actually bounds the quadratic pairing). One
+    * aggregate over the same window rows the pair generator shuffles;
+    * nothing quadratic.
+    */
+  def windowDfProfile(df: DataFrame, text: Column, id: Column,
+      windowTokens: Int, maxDf: Int): DataFrame =
+    slidingWindows(df, text, id, windowTokens)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_wins"),
+        count_distinct(col("doc_id")).as("fp_df"))
+      .agg(count(lit(1)).as("n_fps"),
+        max(col("fp_df")).as("max_df"),
+        sum(when(col("fp_df") > 1, 1L).otherwise(0L)).as("n_multi_fps"),
+        sum(when(col("fp_df") > maxDf, 1L).otherwise(0L))
+          .as("n_dropped_fps"),
+        sum(when(col("fp_df") > maxDf, col("n_wins")).otherwise(0L))
+          .as("n_dropped_windows"))
 
   /** Per-document SimHash bit fingerprint (as a bit string of length
     * `bits`). Near-dups differ in few bits; pair generation at scale

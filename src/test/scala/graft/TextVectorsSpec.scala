@@ -327,4 +327,23 @@ class TextVectorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == uncapped)
   }
+
+  test("q157's window-df cap is answer-invisible at sf0.1 (no fingerprint hits it)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val prof = Dedup.windowDfProfile(docs, $"text", $"doc_id",
+      windowTokens = 20, maxDf = Queries17.MaxWindowDf).collect()
+    assert(prof.length == 1)
+    // no window fingerprint reaches the cap at 10× the gate scale...
+    assert(prof(0).getAs[Long]("n_dropped_fps") == 0L,
+      s"unexpected over-cap fingerprints: ${prof(0)}")
+    assert(prof(0).getAs[Long]("max_df") <= Queries17.MaxWindowDf,
+      s"hot fingerprint: ${prof(0)}")
+    // ...so the capped span report IS the uncapped one, bit for bit
+    def spans(maxDf: Int): Set[String] =
+      Dedup.dupSpans(docs, $"text", $"doc_id", windowTokens = 20,
+          minSpanWindows = 21, maxDf = maxDf)
+        .collect().map(_.toString).toSet
+    assert(spans(Queries17.MaxWindowDf) == spans(0))
+  }
 }
