@@ -58,9 +58,40 @@ object Queries17 {
     graft.operators.Dedup.windowDfProfile(documents(s, d), col("text"),
       col("doc_id"), windowTokens = WindowTokens, maxDf = MaxWindowDf)
 
+  /** q159 — QUANTILE-SKETCH CALIBRATION (the second
+    * TypedImperativeAggregate, SketchAggregates.QuantileSketch). Per
+    * lang: exact interpolated p50/p90 of n_chars (q41's parity-proven
+    * percentile kernel) next to the s=5 log2-linear sketch estimates.
+    * The oracle rebuilds the ENTIRE sketch in SQL — bitlength
+    * quantization, per-bucket counts, integer rank selection — so the
+    * custom aggregate's update/merge/eval path is HASH-verified
+    * against an independent implementation of the same layout, and
+    * the sketch-vs-exact gap is part of the verified row (every
+    * reader of the report sees the error they are buying).
+    *
+    * Scale: the POINT of the operator — per-group quantiles at 100 TB
+    * carry a bounded integer histogram (≤ 12 bytes per occupied
+    * magnitude bucket on the wire) through a normal partial+final
+    * aggregate, where the exact form must sort each group.
+    * PropertySpec proves partitioning-invariance and the 2^-5
+    * relative error bound corpus-wide.
+    */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggregates.qsketch_quantile
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        qsketch_quantile(col("n_chars").cast("long"), 0.5, 5).as("p50_sketch"),
+        qsketch_quantile(col("n_chars").cast("long"), 0.9, 5).as("p90_sketch"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_exact"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_exact"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_capped_dup_spans" -> (q157 _),
-    "q158_window_df_profile" -> (q158 _))
+    "q158_window_df_profile" -> (q158 _),
+    "q159_qsketch_calibration" -> (q159 _))
 }
 
 object Oracle17 {
@@ -103,6 +134,42 @@ object Oracle17 {
          |  max_span_windows + 19 AS max_span_tokens
          |FROM o WHERE max_span_windows >= 21
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // full SQL rebuild of the s=5 log2-linear sketch: shift =
+    // max(bitlength(v)-6, 0), qv = v >> shift, index = shift*64 + qv
+    // (monotone in v), counts per index, then integer rank selection
+    // at r = max(1, ceil(q*n)) and lower-edge decode (qv << shift) —
+    // every step the same arithmetic the aggregate's buffer does
+    "q159_qsketch_calibration" ->
+      """WITH v AS (SELECT lang,
+        |    greatest(CAST(n_chars AS BIGINT), 0) AS v
+        |  FROM documents),
+        |b AS (SELECT lang, v,
+        |    greatest(length(format('{:b}', v)) - 6, 0) AS shift
+        |  FROM v),
+        |c AS (SELECT lang, shift * 64 + (v >> shift) AS i, count(*) AS cnt
+        |  FROM b GROUP BY lang, shift * 64 + (v >> shift)),
+        |r AS (SELECT lang, i, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY i) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c),
+        |s50 AS (SELECT lang, min(i) AS i50 FROM r
+        |  WHERE cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |  GROUP BY lang),
+        |s90 AS (SELECT lang, min(i) AS i90 FROM r
+        |  WHERE cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+        |  GROUP BY lang),
+        |e AS (SELECT lang, count(*) AS n_docs,
+        |    round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+        |    round(quantile_cont(n_chars, 0.9), 4) AS p90_exact
+        |  FROM documents GROUP BY lang)
+        |SELECT e.lang, e.n_docs,
+        |  CAST((i50 % 64) << (i50 // 64) AS BIGINT) AS p50_sketch,
+        |  CAST((i90 % 64) << (i90 // 64) AS BIGINT) AS p90_sketch,
+        |  p50_exact, p90_exact
+        |FROM e JOIN s50 ON e.lang IS NOT DISTINCT FROM s50.lang
+        |  JOIN s90 ON e.lang IS NOT DISTINCT FROM s90.lang
+        |ORDER BY e.lang""".stripMargin,
 
     "q158_window_df_profile" ->
       s"""WITH $windowCtes,

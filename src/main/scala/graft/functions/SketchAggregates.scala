@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom per-group sketch aggregates — the `TypedImperativeAggregate`
@@ -137,4 +137,142 @@ object SketchAggregates {
   def hll_estimate(c: Column, p: Int): Column =
     GraftShim.column(
       HllEstimate(GraftShim.expression(c), p).toAggregateExpression())
+
+  /** Per-group quantile sketch over NON-NEGATIVE longs — the second
+    * TypedImperativeAggregate (the HLL treatment applied to
+    * quantiles). HDR-histogram-style log2-linear buckets (Tene's
+    * HdrHistogram layout, also DDSketch's guarantee shape — Masson,
+    * Rim, Lee, VLDB 2019): value v quantizes to
+    *   shift = max(bitlength(v) − (s+1), 0);  qv = v >> shift
+    *   index = shift · 2^(s+1) + qv
+    * i.e. the top s+1 significant bits, which bounds RELATIVE error
+    * at 2^−s while the state stays a bounded integer histogram —
+    * every step (bucketing, counting, rank selection) is INTEGER
+    * arithmetic, so the DuckDB oracle rebuilds the sketch bit-for-bit
+    * from `bitlength` + shifts (the q145 trick: no float summation
+    * order to coordinate).
+    *
+    * Estimate for quantile q: rank r = max(1, ceil(q·n)) (one IEEE
+    * multiply+ceil, identical on both engines for n < 2^53), then the
+    * LOWER EDGE (qv << shift) of the first bucket whose cumulative
+    * count reaches r — a value ≤ the true rank-r element, within
+    * 2^−s of it relatively.
+    *
+    * Scale: the point of the operator — a per-group quantile at
+    * 100 TB carries ≤ (64−s)·2^(s+1) longs of mergeable state per
+    * group through a normal partial+final aggregate instead of
+    * sorting the group (exact percentile = global sort per group) or
+    * collecting values. Merge = elementwise count sum: exactly
+    * associative/commutative, so partitioning cannot change the
+    * answer (PropertySpec).
+    */
+  case class QuantileSketch(child: Expression, q: Double, s: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    require(s >= 2 && s <= 8,
+      s"qsketch sub-bucket bits s must be in [2,8], got $s")
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
+
+    private val subBuckets = 1 << (s + 1)
+    private val nShifts = 64 - (s + 1) + 1   // shift ∈ [0, 64-(s+1)]
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_qsketch"
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](nShifts * subBuckets)
+
+    private def indexOf(v0: Long): Int = {
+      val v = if (v0 < 0) 0L else v0   // declared domain: non-negative
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val shift = math.max(bitlen - (s + 1), 0)
+      shift * subBuckets + (v >>> shift).toInt
+    }
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) buf(indexOf(v.asInstanceOf[Long])) += 1L
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < b1.length) { b1(j) += b2(j); j += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      var n = 0L
+      var j = 0
+      while (j < buf.length) { n += buf(j); j += 1 }
+      if (n == 0L) null
+      else {
+        // keep this in sync with the Oracle17 SQL rank expression
+        val rank = math.max(1L, math.ceil(q * n.toDouble).toLong)
+        var cum = 0L
+        var i = 0
+        var res: Any = null
+        while (res == null && i < buf.length) {
+          cum += buf(i)
+          if (cum >= rank) {
+            val shift = i / subBuckets
+            val qv = (i % subBuckets).toLong
+            res = qv << shift
+          }
+          i += 1
+        }
+        res
+      }
+    }
+
+    // sparse wire format: [nEntries:int][index:int,count:long]* — the
+    // dense in-memory buffer has (64-s)·2^(s+1) slots but real groups
+    // occupy only the magnitudes they contain
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      var nz = 0
+      var j = 0
+      while (j < buf.length) { if (buf(j) != 0L) nz += 1; j += 1 }
+      val bb = java.nio.ByteBuffer.allocate(4 + nz * 12)
+      bb.putInt(nz)
+      j = 0
+      while (j < buf.length) {
+        if (buf(j) != 0L) { bb.putInt(j); bb.putLong(buf(j)) }
+        j += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = createAggregationBuffer()
+      var nz = bb.getInt
+      while (nz > 0) { buf(bb.getInt) = bb.getLong; nz -= 1 }
+      buf
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_qsketch expects a bigint column, got ${child.dataType}")
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): QuantileSketch =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): QuantileSketch =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): QuantileSketch = copy(child = newChild)
+  }
+
+  /** Column-API form: `qsketch_quantile($"n_chars".cast("long"), 0.5, 5)`. */
+  def qsketch_quantile(c: Column, q: Double, s: Int): Column =
+    GraftShim.column(
+      QuantileSketch(GraftShim.expression(c), q, s).toAggregateExpression())
 }

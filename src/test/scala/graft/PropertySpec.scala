@@ -226,4 +226,44 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(est - n) / n < 0.195, s"n=$n est=$est")
     }
   }
+
+  test("property: QuantileSketch is partitioning-invariant (merge = count sum)") {
+    import graft.functions.SketchAggregates.qsketch_quantile
+    // same rows split 1 / 7 / 32 ways → bit-identical estimates: the
+    // integer-histogram merge is exactly associative/commutative
+    val d = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars".cast("long").as("v"))
+    val ests = Seq(1, 7, 32).map { np =>
+      d.repartition(np).groupBy($"lang")
+        .agg(qsketch_quantile($"v", 0.5, 5).as("p50"),
+          qsketch_quantile($"v", 0.9, 5).as("p90"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(ests.forall(_ == ests.head), s"partitioning changed the sketch: $ests")
+  }
+
+  test("property: QuantileSketch lower edge is within 2^-s relative error of the rank element") {
+    import graft.functions.SketchAggregates.qsketch_quantile
+    // structural bound: the selected bucket CONTAINS the rank-r
+    // element, and a log2-linear bucket at s=5 spans < 2^-5 = 3.125%
+    // of its lower edge — checked corpus-wide per group and quantile
+    val d = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars".cast("long").as("v"))
+    val groups = d.collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val est = d.groupBy($"lang").agg(qsketch_quantile($"v", q, 5).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      groups.foreach { case (lang, sorted) =>
+        val r = math.max(1L, math.ceil(q * sorted.length).toLong).toInt
+        val trueVal = sorted(r - 1)
+        val e = est(lang)
+        assert(e <= trueVal, s"$lang q=$q: est $e above rank element $trueVal")
+        if (trueVal > 0)
+          assert((trueVal - e).toDouble / trueVal < 1.0 / 32,
+            s"$lang q=$q: est $e too far below $trueVal")
+        else assert(e == 0L)
+      }
+    }
+  }
 }
