@@ -274,7 +274,18 @@ object Streaming {
     */
   val BackoffBaseMillis = 1000L
 
-  case class BackoffState(retries: Int, dueMillis: Long)
+  /** Livelock bound on the bounce route: a key whose redeliveries
+    * consistently arrive BEFORE their due time would otherwise loop on
+    * "retry" forever without ever consuming a retry credit (the
+    * upstream redelivery delay being shorter than the backoff
+    * schedule). After this many consecutive premature bounces the
+    * record dead-letters — the poison-message escape the plain
+    * MaxRetries counter cannot provide, because premature attempts
+    * never touch `retries`.
+    */
+  val MaxBounces = 8
+
+  case class BackoffState(retries: Int, dueMillis: Long, bounces: Int = 0)
 
   /** The backoff-aware per-key fold (ONE body for both state APIs,
     * like [[foldAttempts]]). On top of the plain retry state machine it
@@ -283,9 +294,11 @@ object Streaming {
     * due time is not consumed — it is bounced back to the retry topic
     * as a "retry" row carrying the due time in `last_error_millis`
     * (the redelivery hint a Kafka retry-topic consumer would delay
-    * on), leaving retries and the schedule untouched. Due attempts
-    * fold exactly as before: success → processed + clear; failure →
-    * count, and dead-letter at MaxRetries.
+    * on), leaving retries and the schedule untouched — except that
+    * [[MaxBounces]] consecutive premature bounces dead-letter the
+    * record (poison-message livelock bound). Due attempts fold exactly
+    * as before: success → processed + clear; failure → count, and
+    * dead-letter at MaxRetries.
     */
   private[graft] def foldAttemptsBackoff(id: Long, attempts: Seq[Attempt],
       st0: BackoffState, baseMillis: Long): (Seq[Routed], BackoffState) = {
@@ -293,7 +306,17 @@ object Streaming {
     val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
     attempts.sortBy(a => (a.atMillis, a.ok, a.payload)).foreach { a =>
       if (a.atMillis < st.dueMillis) {
-        out += Routed(id, "retry", st.retries, st.dueMillis, a.payload)
+        // premature: bounce with the due-time hint — but BOUNDED
+        // (MaxBounces consecutive premature redeliveries dead-letter;
+        // an on-time attempt resets the bounce count below)
+        val bounces = st.bounces + 1
+        if (bounces >= MaxBounces) {
+          out += Routed(id, "dlq", st.retries, st.dueMillis, a.payload)
+          st = BackoffState(0, 0L)
+        } else {
+          out += Routed(id, "retry", st.retries, st.dueMillis, a.payload)
+          st = st.copy(bounces = bounces)
+        }
       } else if (a.ok) {
         out += Routed(id, "processed", st.retries, a.atMillis, a.payload)
         st = BackoffState(0, 0L)

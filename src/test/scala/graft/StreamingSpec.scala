@@ -505,6 +505,33 @@ class StreamingSpec extends SparkSpec {
     assert(st2 == BackoffState(0, 0L))
   }
 
+  test("T4c: bounce livelock bound — MaxBounces premature redeliveries dead-letter") {
+    import Streaming.{foldAttemptsBackoff, BackoffState, MaxBounces}
+    // one failure schedules due=1000; every redelivery arrives before
+    // it (the poison-message shape: upstream redelivery delay shorter
+    // than the backoff schedule) — without the bound this loops on
+    // "retry" forever, never consuming a retry credit
+    val fail = Attempt(9, ok = false, "f0", 0)
+    val premature = (1 to MaxBounces).map(i =>
+      Attempt(9, ok = false, s"p$i", i.toLong))
+    val (out, st) = foldAttemptsBackoff(9, fail +: premature,
+      BackoffState(0, 0L), 1000L)
+    assert(out.count(_.route == "retry") == MaxBounces - 1)
+    assert(out.count(_.route == "dlq") == 1)
+    assert(out.last.route == "dlq")
+    assert(out.last.last_error_millis == 1000L,
+      "dead-lettered bounce keeps the due-time hint")
+    assert(st == BackoffState(0, 0L), "dead-letter clears the schedule")
+    // an ON-TIME attempt resets the bounce count — only CONSECUTIVE
+    // premature redeliveries accumulate toward the bound
+    val (_, st2) = foldAttemptsBackoff(9, Seq(
+      Attempt(9, ok = false, "a", 0),     // due=1000
+      Attempt(9, ok = false, "b", 500),   // bounce 1
+      Attempt(9, ok = false, "c", 1000)), // on-time: retries=2, due=3000
+      BackoffState(0, 0L), 1000L)
+    assert(st2 == BackoffState(2, 3000L, 0))
+  }
+
   test("T4c differential: backoff transformWithState == flatMapGroupsWithState") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(providerKey)
