@@ -332,4 +332,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(400))
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
+
+  test("q157/q158: capped span paths stay equi-join + aggregate, never cartesian") {
+    val p157 = simple("q157_capped_dup_spans")
+    assert(!p157.contains("CartesianProduct") && !p157.contains("BroadcastNestedLoop"),
+      p157.take(400))
+    val p158 = simple("q158_window_df_profile")
+    assert(!p158.contains("CartesianProduct"), p158.take(400))
+    // the profile is two aggregate stages over the window rows
+    assert(p158.contains("HashAggregate"), p158.take(400))
+  }
+
+  test("q159: the quantile sketch plans as a partial+final object aggregate") {
+    // same shape claim as q145: sparse integer histograms shuffle,
+    // raw values never do (the exact-percentile twin columns aside)
+    val p = simple("q159_qsketch_calibration")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final object aggregate stages")
+  }
+
+  test("q161/q162: source matrix and shard audit broadcast their small sides") {
+    // q161: the (doc_id, source) dictionary joins broadcast at test
+    // scale (AQE would demote exactly when the dictionary outgrows
+    // the threshold); never cartesian
+    val p161 = simple("q161_source_dup_matrix")
+    assert(!p161.contains("CartesianProduct"), p161.take(400))
+    // q162: the 1-row grand-total side is an explicit broadcast
+    val p162 = simple("q162_shard_balance")
+    assert(p162.contains("BroadcastExchange"), p162.take(400))
+    assert(!p162.contains("SortMergeJoin"), p162.take(400))
+  }
 }
