@@ -27,6 +27,14 @@ object Register {
       s"$what must be an integer literal, got $other")
   }
 
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** (name, usage, expression builder) for every custom SQL kernel. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays",
@@ -48,7 +56,11 @@ object Register {
     ("graft_hll",
       "graft_hll(s, p) - HyperLogLog distinct estimate with 2^p byte registers",
       es => graft.functions.SketchAggregates.HllEstimate(
-        es(0), intLit(es(1), "p"))))
+        es(0), intLit(es(1), "p"))),
+    ("graft_qsketch",
+      "graft_qsketch(v, q, s) - quantile-q estimate of non-negative bigints from a log2-linear integer sketch (relative error 2^-s)",
+      es => graft.functions.SketchAggregates.QuantileSketch(
+        es(0), dblLit(es(1), "q"), intLit(es(2), "s"))))
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

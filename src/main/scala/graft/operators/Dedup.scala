@@ -465,10 +465,16 @@ object Dedup {
     val wins = slidingWindows(df, text, id, windowTokens)
     val kept =
       if (maxDf > 0) {
-        val dfc = wins.select(col("doc_id"), col("fp")).distinct()
+        // anti-join against the OVER-cap fingerprints, not an inner
+        // join against the keep list: the keep list is corpus-sized
+        // (~every distinct window), while over-cap fps are bounded by
+        // n_windows / maxDf and in practice are the rare boilerplate
+        // tail — a small (often broadcast) side instead of a second
+        // full-width shuffle of the window rows
+        val hot = wins.select(col("doc_id"), col("fp")).distinct()
           .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
-          .filter(col("fp_df") <= maxDf)
-        wins.join(dfc.select(col("fp")), Seq("fp"))
+          .filter(col("fp_df") > maxDf)
+        wins.join(hot.select(col("fp")), Seq("fp"), "left_anti")
       } else wins
     val pairs = kept
       .select(col("doc_id").as("a_id"), col("pos").as("ai"), col("fp"))

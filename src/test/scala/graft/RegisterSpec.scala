@@ -60,4 +60,31 @@ class RegisterSpec extends SparkSpec {
       assert(math.abs(est - exact(k)) / exact(k) < 0.195, s"$k: $est vs ${exact(k)}")
     }
   }
+
+  test("graft_qsketch aggregate: SQL form == Column form, within the 2^-s bound") {
+    import org.apache.spark.sql.functions.{col => c}
+    Register.all(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_qs")
+    val viaSql = spark.sql(
+      """SELECT lang, graft_qsketch(CAST(n_chars AS BIGINT), 0.5, 5) AS p50
+        |FROM docs_qs GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCol = Tables.documents(spark, sf)
+      .groupBy(c("lang"))
+      .agg(graft.functions.SketchAggregates.qsketch_quantile(
+        c("n_chars").cast("long"), 0.5, 5).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+    // sanity vs the interpolated median: the lower-edge decode sits
+    // at or below it (the tight 2^-s bound vs the RANK element is
+    // proven in PropertySpec; here the point is SQL-surface parity)
+    val exact = Tables.documents(spark, sf)
+      .groupBy(c("lang"))
+      .agg(org.apache.spark.sql.functions.percentile(
+        c("n_chars"), org.apache.spark.sql.functions.lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    viaSql.foreach { case (k, est) =>
+      assert(est > 0 && est <= exact(k) + 1, s"$k: $est vs exact ${exact(k)}")
+    }
+  }
 }
