@@ -57,6 +57,10 @@ object Register {
       "graft_hll(s, p) - HyperLogLog distinct estimate with 2^p byte registers",
       es => graft.functions.SketchAggregates.HllEstimate(
         es(0), intLit(es(1), "p"))),
+    ("graft_hll_regs",
+      "graft_hll_regs(s, p) - raw HyperLogLog register file (array<int>, length 2^p); merge register files with zip_with(a, b, greatest)",
+      es => graft.functions.SketchAggregates.HllRegisters(
+        es(0), intLit(es(1), "p"))),
     ("graft_qsketch",
       "graft_qsketch(v, q, s) - quantile-q estimate of non-negative bigints from a log2-linear integer sketch (relative error 2^-s)",
       es => graft.functions.SketchAggregates.QuantileSketch(

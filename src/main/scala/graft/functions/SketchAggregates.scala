@@ -41,6 +41,46 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggregates {
 
+  /** Shared HLL register-file kernel — ONE implementation of the
+    * update/merge math used by both [[HllEstimate]] (scalar estimate)
+    * and [[HllRegisters]] (the raw register file for sketch ALGEBRA:
+    * union = elementwise max is exactly this merge, so a register file
+    * computed per source/day/partition can be combined later without
+    * rescanning the data — the mergeability property that makes
+    * sketches the 100 TB answer to distinct-count set operations).
+    */
+  private object HllCore {
+    val md5Local: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    /** Fold one string value into the register file (mutates buf). */
+    def update(buf: Array[Byte], value: String, p: Int): Unit = {
+      val m = 1 << p
+      val wBits = 60 - p
+      // the shared 60-bit projection: first 7 md5 bytes + high nibble
+      // of the 8th (bit-identical to Text.md5Long / Md5ShingleHashes)
+      val d = md5Local.get().digest(
+        value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v56 = 0L
+      var b = 0
+      while (b < 7) { v56 = (v56 << 8) | (d(b) & 0xffL); b += 1 }
+      val h = (v56 << 4) | ((d(7) & 0xf0L) >>> 4)
+      val idx = (h & (m - 1)).toInt
+      val w = h >>> p
+      // w=0: numberOfLeadingZeros(0)=64 → bitlength 0 → rho = wBits+1
+      val rho = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(idx)) buf(idx) = rho.toByte
+    }
+
+    /** Elementwise max — HLL merge AND set union, associative. */
+    def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < b1.length) { if (b2(j) > b1(j)) b1(j) = b2(j); j += 1 }
+      b1
+    }
+  }
+
   /** HyperLogLog cardinality estimate of `child` (StringType) with
     * 2^p byte registers. p=8 → ±1.04/√256 ≈ 6.5% standard error on
     * ~256 bytes of state per group, at any cardinality.
@@ -63,36 +103,15 @@ object SketchAggregates {
 
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-    @transient private lazy val md5Local =
-      ThreadLocal.withInitial[java.security.MessageDigest](() =>
-        java.security.MessageDigest.getInstance("MD5"))
-
     override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
       val v = child.eval(input)
-      if (v != null) {
-        // the shared 60-bit projection: first 7 md5 bytes + high nibble
-        // of the 8th (bit-identical to Text.md5Long / Md5ShingleHashes)
-        val d = md5Local.get().digest(
-          v.asInstanceOf[UTF8String].toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var v56 = 0L
-        var b = 0
-        while (b < 7) { v56 = (v56 << 8) | (d(b) & 0xffL); b += 1 }
-        val h = (v56 << 4) | ((d(7) & 0xf0L) >>> 4)
-        val idx = (h & (m - 1)).toInt
-        val w = h >>> p
-        // w=0: numberOfLeadingZeros(0)=64 → bitlength 0 → rho = wBits+1
-        val rho = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-        if (rho > buf(idx)) buf(idx) = rho.toByte
-      }
+      if (v != null)
+        HllCore.update(buf, v.asInstanceOf[UTF8String].toString, p)
       buf
     }
 
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-      var j = 0
-      while (j < m) { if (b2(j) > b1(j)) b1(j) = b2(j); j += 1 }
-      b1
-    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      HllCore.merge(b1, b2)
 
     override def eval(buf: Array[Byte]): Any = {
       var s = 0L
@@ -137,6 +156,76 @@ object SketchAggregates {
   def hll_estimate(c: Column, p: Int): Column =
     GraftShim.column(
       HllEstimate(GraftShim.expression(c), p).toAggregateExpression())
+
+  /** The RAW register file of the same HLL sketch, as array<int> of
+    * length 2^p — the sketch-ALGEBRA form. Two register files merge by
+    * elementwise max (`zip_with(a, b, greatest)` in plain Column code),
+    * and max is exactly how the sketch absorbs values, so
+    * regs(A ∪ B) = max(regs(A), regs(B)) HOLDS EXACTLY — union
+    * cardinality (and intersections via inclusion-exclusion) of
+    * arbitrary group combinations come from the tiny per-group state,
+    * never a rescan. Estimator arithmetic over a register array is
+    * deliberately NOT baked in here: it is four Column expressions
+    * (see Queries19.hllEstFromRegs) kept in the same IEEE order as
+    * [[HllEstimate.eval]] and the Oracle13/Oracle19 SQL.
+    */
+  case class HllRegisters(child: Expression, p: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]]
+      with UnaryLike[Expression] {
+    require(p >= 4 && p <= 12,
+      s"hll precision p must be in [4,12] (m=2^p byte registers), got $p")
+
+    private val m = 1 << p
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_hll_regs"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null)
+        HllCore.update(buf, v.asInstanceOf[UTF8String].toString, p)
+      buf
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      HllCore.merge(b1, b2)
+
+    override def eval(buf: Array[Byte]): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.map(_.toInt))
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hll_regs expects a string column, got ${child.dataType}")
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): HllRegisters =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): HllRegisters =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): HllRegisters = copy(child = newChild)
+  }
+
+  /** Column-API form: `hll_registers($"text", 8)`. */
+  def hll_registers(c: Column, p: Int): Column =
+    GraftShim.column(
+      HllRegisters(GraftShim.expression(c), p).toAggregateExpression())
 
   /** Per-group quantile sketch over NON-NEGATIVE longs — the second
     * TypedImperativeAggregate (the HLL treatment applied to
