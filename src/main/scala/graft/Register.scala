@@ -64,7 +64,11 @@ object Register {
     ("graft_qsketch",
       "graft_qsketch(v, q, s) - quantile-q estimate of non-negative bigints from a log2-linear integer sketch (relative error 2^-s)",
       es => graft.functions.SketchAggregates.QuantileSketch(
-        es(0), dblLit(es(1), "q"), intLit(es(2), "s"))))
+        es(0), dblLit(es(1), "q"), intLit(es(2), "s"))),
+    ("graft_qsketch_counts",
+      "graft_qsketch_counts(v, s) - raw sparse quantile-sketch state (array<struct<i,cnt>>); merge states by explode + sum(cnt) per i",
+      es => graft.functions.SketchAggregates.QsketchCounts(
+        es(0), intLit(es(1), "s"))))
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -81,6 +81,16 @@ object SketchAggregates {
     }
   }
 
+  /** Streaming hooks on the ONE kernel: fold a value into / merge two
+    * register files — used by Streaming.streamingHllRegs so the
+    * incremental per-key state is bit-identical to the batch
+    * aggregate's (the T12 differential).
+    */
+  def hllUpdate(buf: Array[Byte], value: String, p: Int): Unit =
+    HllCore.update(buf, value, p)
+  def hllMerge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HllCore.merge(b1, b2)
+
   /** HyperLogLog cardinality estimate of `child` (StringType) with
     * 2^p byte registers. p=8 → ±1.04/√256 ≈ 6.5% standard error on
     * ~256 bytes of state per group, at any cardinality.
@@ -227,6 +237,35 @@ object SketchAggregates {
     GraftShim.column(
       HllRegisters(GraftShim.expression(c), p).toAggregateExpression())
 
+  /** Shared log2-linear bucketing kernel — ONE implementation of the
+    * quantization/merge math used by both [[QuantileSketch]] (scalar
+    * quantile estimate) and [[QsketchCounts]] (the raw sparse count
+    * state for sketch ALGEBRA: merge = elementwise count SUM, so
+    * per-shard/per-day sketches combine relationally — explode +
+    * groupBy(bucket) + sum — without rescanning values).
+    */
+  private[functions] object QsketchCore {
+    def newBuffer(s: Int): Array[Long] = {
+      val subBuckets = 1 << (s + 1)
+      val nShifts = 64 - (s + 1) + 1   // shift ∈ [0, 64-(s+1)]
+      new Array[Long](nShifts * subBuckets)
+    }
+
+    def indexOf(v0: Long, s: Int): Int = {
+      val v = if (v0 < 0) 0L else v0   // declared domain: non-negative
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val shift = math.max(bitlen - (s + 1), 0)
+      shift * (1 << (s + 1)) + (v >>> shift).toInt
+    }
+
+    /** Elementwise count sum — exactly associative/commutative. */
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < b1.length) { b1(j) += b2(j); j += 1 }
+      b1
+    }
+  }
+
   /** Per-group quantile sketch over NON-NEGATIVE longs — the second
     * TypedImperativeAggregate (the HLL treatment applied to
     * quantiles). HDR-histogram-style log2-linear buckets (Tene's
@@ -265,33 +304,22 @@ object SketchAggregates {
     require(q > 0.0 && q <= 1.0, s"quantile must be in (0,1], got $q")
 
     private val subBuckets = 1 << (s + 1)
-    private val nShifts = 64 - (s + 1) + 1   // shift ∈ [0, 64-(s+1)]
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "graft_qsketch"
 
     override def createAggregationBuffer(): Array[Long] =
-      new Array[Long](nShifts * subBuckets)
-
-    private def indexOf(v0: Long): Int = {
-      val v = if (v0 < 0) 0L else v0   // declared domain: non-negative
-      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
-      val shift = math.max(bitlen - (s + 1), 0)
-      shift * subBuckets + (v >>> shift).toInt
-    }
+      QsketchCore.newBuffer(s)
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
-      if (v != null) buf(indexOf(v.asInstanceOf[Long])) += 1L
+      if (v != null) buf(QsketchCore.indexOf(v.asInstanceOf[Long], s)) += 1L
       buf
     }
 
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      var j = 0
-      while (j < b1.length) { b1(j) += b2(j); j += 1 }
-      b1
-    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      QsketchCore.merge(b1, b2)
 
     override def eval(buf: Array[Long]): Any = {
       var n = 0L
@@ -364,4 +392,102 @@ object SketchAggregates {
   def qsketch_quantile(c: Column, q: Double, s: Int): Column =
     GraftShim.column(
       QuantileSketch(GraftShim.expression(c), q, s).toAggregateExpression())
+
+  /** The RAW sparse state of the same quantile sketch, as
+    * array<struct<i:int, cnt:bigint>> sorted by bucket index — the
+    * sketch-ALGEBRA form (the [[HllRegisters]] treatment applied to
+    * quantiles). Two states merge by elementwise count SUM, which in
+    * relational code is explode → groupBy(i) → sum(cnt): per-shard /
+    * per-day / per-source sketches computed in ONE pass combine into
+    * ANY grouping later without rescanning the values. Rank selection
+    * over a merged state is a cumulative-sum window + a min(i) filter
+    * (see Queries20.q165) — all integer arithmetic, so the combined
+    * estimate stays bit-reproducible in DuckDB.
+    */
+  case class QsketchCounts(child: Expression, s: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    require(s >= 2 && s <= 8,
+      s"qsketch sub-bucket bits s must be in [2,8], got $s")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cnt", LongType,
+            nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_qsketch_counts"
+
+    override def createAggregationBuffer(): Array[Long] =
+      QsketchCore.newBuffer(s)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) buf(QsketchCore.indexOf(v.asInstanceOf[Long], s)) += 1L
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      QsketchCore.merge(b1, b2)
+
+    override def eval(buf: Array[Long]): Any = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var j = 0
+      while (j < buf.length) {
+        if (buf(j) != 0L)
+          out += InternalRow(j, buf(j))
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    // same sparse wire format as QuantileSketch
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      var nz = 0
+      var j = 0
+      while (j < buf.length) { if (buf(j) != 0L) nz += 1; j += 1 }
+      val bb = java.nio.ByteBuffer.allocate(4 + nz * 12)
+      bb.putInt(nz)
+      j = 0
+      while (j < buf.length) {
+        if (buf(j) != 0L) { bb.putInt(j); bb.putLong(buf(j)) }
+        j += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val buf = createAggregationBuffer()
+      var nz = bb.getInt
+      while (nz > 0) { buf(bb.getInt) = bb.getLong; nz -= 1 }
+      buf
+    }
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_qsketch_counts expects a bigint column, got ${child.dataType}")
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): QsketchCounts =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): QsketchCounts =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): QsketchCounts = copy(child = newChild)
+  }
+
+  /** Column-API form: `qsketch_counts($"n_chars".cast("long"), 5)`. */
+  def qsketch_counts(c: Column, s: Int): Column =
+    GraftShim.column(
+      QsketchCounts(GraftShim.expression(c), s).toAggregateExpression())
 }

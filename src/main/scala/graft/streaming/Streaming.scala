@@ -442,6 +442,49 @@ object Streaming {
       }
   }
 
+  // ---- T12: streaming distinct-count state (HLL registers per key) -----
+
+  case class KeyedValue(key: String, value: String)
+  case class HllRegsState(regs: Array[Byte], nUpdates: Long)
+  case class KeyRegs(key: String, nUpdates: Long, regs: Seq[Int])
+
+  /** Incremental per-key distinct-count sketch: the per-key state IS
+    * an HLL register file, folded through the SAME kernel the batch
+    * aggregate uses (SketchAggregates.hllUpdate), so after any batch
+    * split / restart the state is bit-identical to
+    * `hll_registers(value, p)` over the rows seen so far — the sketch
+    * analogue of the q93 incremental-dedup contract, differential-
+    * proved in StreamingSpec.
+    *
+    * Scale: per-key state is 2^p bytes FOREVER (distinct counting
+    * without storing members), updates are append-only max, and the
+    * emitted register file composes with the q163 register algebra
+    * (union across keys = zip_with greatest) — a live dashboard over
+    * arbitrary key rollups from kilobytes of state.
+    */
+  def streamingHllRegs(ds: Dataset[KeyedValue], p: Int)(
+      implicit spark: SparkSession): Dataset[KeyRegs] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[HllRegsState, KeyRegs](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedValue],
+            state: GroupState[HllRegsState]) =>
+          val st = state.getOption.getOrElse(
+            HllRegsState(new Array[Byte](1 << p), 0L))
+          var n = st.nUpdates
+          rows.foreach { r =>
+            if (r.value != null) {
+              graft.functions.SketchAggregates.hllUpdate(st.regs, r.value, p)
+              n += 1
+            }
+          }
+          val next = HllRegsState(st.regs, n)
+          state.update(next)
+          KeyRegs(key, n, next.regs.map(_.toInt).toSeq)
+      }
+  }
+
   // ---- stream-stream join ---------------------------------------------
 
   /** Watermarked stream-stream inner join: left events matched to

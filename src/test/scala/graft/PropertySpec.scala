@@ -266,4 +266,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: HllRegisters union algebra — zip_with-greatest merge equals the union's register file, estimator matches HllEstimate") {
+    import graft.functions.SketchAggregates.{hll_estimate, hll_registers}
+    // regs(A ∪ B) = max(regs(A), regs(B)) must hold EXACTLY (max is
+    // both the update absorber and the merge), and the Column-code
+    // estimator over a register file must reproduce the scalar
+    // aggregate bit-for-bit — the two laws q163's oracle rests on
+    val e = Tables.events(spark, sf).filter($"user_id".isNotNull)
+      .select($"event_type", $"user_id".cast("string").as("u"))
+    val types = Seq("view", "click")
+    val per = e.filter($"event_type".isin(types: _*))
+      .groupBy($"event_type")
+      .agg(hll_registers($"u", 8).as("regs"), hll_estimate($"u", 8).as("est"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Int](1).toArray, r.getDouble(2))).toMap
+    // law 1: estimator-from-registers ≡ scalar aggregate, in-engine
+    val estFromRegs = e.filter($"event_type".isin(types: _*))
+      .groupBy($"event_type").agg(hll_registers($"u", 8).as("regs"))
+      .select($"event_type", Queries19.hllEstFromRegs("regs", 8).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    types.foreach { t =>
+      assert(estFromRegs(t) == per(t)._2,
+        s"$t: Column estimator ${estFromRegs(t)} != aggregate ${per(t)._2}")
+    }
+    // law 2: elementwise max of the two files = the union's file
+    val unionRegs = e.filter($"event_type".isin(types: _*))
+      .agg(hll_registers($"u", 8).as("regs"))
+      .head().getSeq[Int](0).toArray
+    val merged = per(types(0))._1.zip(per(types(1))._1).map { case (a, b) =>
+      math.max(a, b) }
+    assert(merged.sameElements(unionRegs),
+      "max(regs(view), regs(click)) != regs(view ∪ click)")
+  }
+
+  test("property: QsketchCounts state reproduces QuantileSketch's rank selection and is partitioning-invariant") {
+    import graft.functions.SketchAggregates.{qsketch_counts, qsketch_quantile}
+    val d = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars".cast("long").as("v"))
+    // the sparse state + the integer rank walk must reproduce the
+    // scalar aggregate exactly (q165's rank-walk-in-Column-code is
+    // the same arithmetic)
+    val states = d.groupBy($"lang").agg(qsketch_counts($"v", 5).as("st"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => e.getInt(0) -> e.getLong(1)).sortBy(_._1)).toMap
+    Seq(0.5, 0.9).foreach { q =>
+      val direct = d.groupBy($"lang").agg(qsketch_quantile($"v", q, 5).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      states.foreach { case (lang, st) =>
+        val n = st.map(_._2).sum
+        val rank = math.max(1L, math.ceil(q * n.toDouble).toLong)
+        var cum = 0L
+        val i = st.collectFirst {
+          case (idx, c) if { cum += c; cum >= rank } => idx }.get
+        val decoded = ((i % 64).toLong) << (i / 64)
+        assert(decoded == direct(lang),
+          s"$lang q=$q: state walk $decoded != aggregate ${direct(lang)}")
+      }
+    }
+    // same rows split 1 / 7 / 32 ways → identical sparse states
+    val sts = Seq(1, 7, 32).map { np =>
+      d.repartition(np).groupBy($"lang").agg(qsketch_counts($"v", 5).as("st"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => e.getInt(0) -> e.getLong(1)).sortBy(_._1)).toMap
+    }
+    assert(sts.forall(_ == sts.head), "partitioning changed the sparse state")
+  }
 }

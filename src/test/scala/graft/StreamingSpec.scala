@@ -596,4 +596,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
     assert(spark.read.parquet(out).select(sum($"id")).head().getLong(0) == 6L)
   }
+
+  test("T12: streaming per-key HLL register state is bit-identical to the batch aggregate after arbitrary batch splits") {
+    import graft.streaming.Streaming.{KeyedValue, KeyRegs}
+    import graft.functions.SketchAggregates.hll_registers
+    // real per-day audience rows from the events table, split into 3
+    // uneven micro-batches (including a key spanning all three) — the
+    // incremental state must equal hll_registers over the union
+    val rows = Tables.events(spark, sf).filter($"user_id".isNotNull)
+      .select(to_date($"ts").cast("string").as("key"),
+        $"user_id".cast("string").as("value"))
+      .as[KeyedValue].collect().toSeq
+    assert(rows.size > 100, s"fixture too small: ${rows.size}")
+    val in = MemoryStream[KeyedValue](spark)
+    val q = graft.streaming.Streaming.streamingHllRegs(in.toDS(), 8)
+      .writeStream.format("memory").queryName("t12regs")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      // final state per key = the row with the highest update count
+      val streamed = spark.table("t12regs").as[KeyRegs].collect()
+        .groupBy(_.key).map { case (k, rs) =>
+          k -> rs.maxBy(_.nUpdates).regs.toArray }
+      val batch = rows.toDF("key", "value").groupBy($"key")
+        .agg(hll_registers($"value", 8).as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, regs) =>
+        assert(regs.sameElements(batch(k)),
+          s"day $k: streamed register file != batch aggregate")
+      }
+    } finally q.stop()
+  }
 }
