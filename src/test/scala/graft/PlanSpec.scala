@@ -363,4 +363,50 @@ class PlanSpec extends SparkSpec {
     assert(p162.contains("BroadcastExchange"), p162.take(400))
     assert(!p162.contains("SortMergeJoin"), p162.take(400))
   }
+
+  test("q163: register algebra aggregates objects, never cartesian") {
+    // per-day register files through partial+final ObjectHashAggregate;
+    // the day-pair self-join is an equi-join on the tiny state table
+    val p = simple("q163_audience_overlap")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q164/q166: census top-30 and sample top-K plan TakeOrderedAndProject") {
+    assert(simple("q164_bpe_merge_census").contains("TakeOrderedAndProject"))
+    assert(simple("q166_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q165: shard states aggregate as objects; grand totals broadcast") {
+    val p = simple("q165_qsketch_shard_merge")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("q167: sequence funnel is window-over-scan — no join at all") {
+    val p = simple("q167_funnel_sequence")
+    assert(!p.contains("Join"), p.take(400))
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("q168: retention grid broadcasts cohort sizes, no cartesian") {
+    val p = simple("q168_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q169/q170: transition matrix and rolling rollup are window-over-aggregate, no join") {
+    val p169 = simple("q169_event_transitions")
+    assert(!p169.contains("Join") && p169.contains("Window"), p169.take(400))
+    val p170 = simple("q170_rolling_7day")
+    assert(!p170.contains("Join") && p170.contains("Window"), p170.take(400))
+  }
+
+  test("q171: neighborhood blocking plans an equi-join (hash or sort-merge), never nested-loop") {
+    val p = simple("q171_hamming1_entity_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(400))
+    assert(p.contains("Join"), p.take(400))
+  }
 }
