@@ -409,4 +409,21 @@ class PlanSpec extends SparkSpec {
       p.take(400))
     assert(p.contains("Join"), p.take(400))
   }
+
+  test("q173: MAD screen broadcasts the per-lang stats frames") {
+    val p = simple("q173_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("q175: table profile reads the scan without any join") {
+    val p = simple("q175_table_profile")
+    assert(!p.contains("Join"), p.take(400))
+  }
+
+  test("q176: the day grid comes from a 1-row broadcast, daily join stays equi") {
+    val p = simple("q176_gap_fill_locf")
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
 }
