@@ -426,4 +426,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(400))
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
+
+  test("q177: hopping windows partially aggregate after the expand — no join") {
+    val p = simple("q177_hopping_windows")
+    assert(!p.contains("Join"), p.take(400))
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
+  test("q178: skew diagnosis plans TakeOrdered over the per-key counts") {
+    val p = simple("q178_join_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("BroadcastExchange"), p.take(400))
+  }
+
+  test("q179: PSI edges and totals ride broadcasts, never sort-merge") {
+    val p = simple("q179_psi_drift")
+    assert(p.contains("BroadcastExchange"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
 }
