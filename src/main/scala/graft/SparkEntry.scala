@@ -17,7 +17,9 @@ object SparkEntry {
       Queries4.all ++ Queries5.all ++ Queries6.all ++ Queries7.all ++
       Queries8.all ++ Queries9.all ++ Queries10.all ++ Queries11.all ++
       Queries12.all ++ Queries13.all ++ Queries14.all ++ Queries15.all ++
-      Queries16.all ++ Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all ++ Queries21.all ++ Queries22.all ++ Queries23.all
+      Queries16.all ++ Queries17.all ++ Queries18.all ++ Queries19.all ++
+      Queries20.all ++ Queries21.all ++ Queries22.all ++ Queries23.all ++
+      Queries24.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +29,7 @@ object SparkEntry {
       Oracle4.sql ++ Oracle5.sql ++ Oracle6.sql ++ Oracle7.sql ++
       Oracle8.sql ++ Oracle9.sql ++ Oracle10.sql ++ Oracle11.sql ++
       Oracle12.sql ++ Oracle13.sql ++ Oracle14.sql ++ Oracle15.sql ++
-      Oracle16.sql ++ Oracle17.sql ++ Oracle18.sql ++ Oracle19.sql ++ Oracle20.sql ++ Oracle21.sql ++ Oracle22.sql ++ Oracle23.sql
+      Oracle16.sql ++ Oracle17.sql ++ Oracle18.sql ++ Oracle19.sql ++
+      Oracle20.sql ++ Oracle21.sql ++ Oracle22.sql ++ Oracle23.sql ++
+      Oracle24.sql
 }

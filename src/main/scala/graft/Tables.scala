@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * files are the schema registry — mirrors the reference's
   * jsonpath-pinned discipline, FeatureEngineeringApproaches.md:134-147)
   * rather than re-declare StructTypes that could drift on timestamp
-  * precision (events.ts is ns in parquet, µs in Spark).
+  * precision (events.ts has shipped as both ns-as-INT64 and naive µs;
+  * the ingest normalizer below adapts per physical type).
   *
   * At 100 TB these would be partitioned-directory datasets; the reader
   * shape (`spark.read.parquet(dir)`) is identical — Catalyst handles
@@ -36,16 +37,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]), and whose
-    * read-as-long + truncate wrapper defeats parquet pushdown of ts
-    * predicates. Normalize ONCE per sf dir at ingest: rewrite events
-    * with ts truncated to µs (INT64 TIMESTAMP_MICROS — exactly
-    * DuckDB's ns→µs conversion, so oracle parity holds) and read the
-    * normalized copy ever after. Timestamp range predicates now push
-    * into the scan (PlanSpec q83), the session conf is no longer
-    * touched per read, and at 100 TB this is the standard one-time
-    * ingest hop every lake does anyway.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4 refuses
+    * to read as a timestamp, [PARQUET_TYPE_ILLEGAL]) and, since the
+    * round-7 regeneration, as naive TIMESTAMP(MICROS) (which Spark 4
+    * reads as TIMESTAMP_NTZ). Both defeat the repo's convention of a
+    * pushdown-friendly, UTC-instant TimestampType column. Normalize
+    * ONCE per sf dir at ingest, adaptively on the physical type:
+    * ns-as-long → truncate to µs (exactly DuckDB's ns→µs conversion);
+    * TIMESTAMP_NTZ → reinterpret the wall clock as a UTC instant
+    * (exactly how DuckDB reads a naive parquet timestamp). Either way
+    * the normalized copy is INT64 TIMESTAMP_MICROS, timestamp range
+    * predicates push into the scan (PlanSpec q83), the session conf is
+    * no longer touched per read, and at 100 TB this is the standard
+    * one-time ingest hop every lake does anyway.
     *
     * Concurrency: writers land on a pid-scoped tmp dir and publish via
     * atomic rename; losers of the race delete their tmp and read the
@@ -109,19 +113,35 @@ object Tables {
           s"${key}_tmp_p${ProcessHandle.current().pid()}")
         val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         val prevTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+        val prevTz = s.conf.getOption("spark.sql.session.timeZone")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // INT64 µs output (not INT96): INT96 timestamps cannot be
         // predicate-pushed; TIMESTAMP_MICROS can
         s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        // the NTZ→instant cast below reads the session tz; pin it so
+        // the on-disk normalized copy is UTC no matter which session
+        // (test, bench, Verify) happens to trigger the rewrite
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         try {
-          table(s, d, "events")
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-            .write.mode("overwrite").parquet(tmp.getPath)
+          val raw = table(s, d, "events")
+          val fixed = raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              // ns-as-INT64 generation: truncate to µs
+              raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              // naive-µs generation: wall clock → UTC instant
+              raw.withColumn("ts",
+                col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            case _ => raw // already a µs instant
+          }
+          fixed.write.mode("overwrite").parquet(tmp.getPath)
         } finally {
           prevNanos.fold(s.conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
           prevTsType.fold(s.conf.unset("spark.sql.parquet.outputTimestampType"))(
             s.conf.set("spark.sql.parquet.outputTimestampType", _))
+          prevTz.fold(s.conf.unset("spark.sql.session.timeZone"))(
+            s.conf.set("spark.sql.session.timeZone", _))
         }
         if (!tmp.renameTo(dst)) {
           rmTree(tmp)
