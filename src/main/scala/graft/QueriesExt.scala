@@ -384,6 +384,25 @@ object OracleExt {
 
   private val langs = Seq("en", "fr", "es", "de", "zh")
 
+  /** The q32 langid predictor as shareable CTEs ending in
+    * `pred(doc_id, pred_lang)` — private[graft] (the md5long
+    * convention) so the q187 confusion-matrix oracle splices the ONE
+    * formula instead of re-deriving the stopword-argmax.
+    */
+  private[graft] val langidPredCtes: String = {
+    val cnts = langs.map(l =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${inList(Text.stopwords(l))}))) AS c_$l")
+      .mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
+    val cases = langs.map(l =>
+      s"WHEN c_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""lc AS (SELECT doc_id,
+       |    $cnts
+       |  FROM documents),
+       |lb AS (SELECT doc_id, c_en, c_fr, c_es, c_de, c_zh, $best AS best FROM lc),
+       |pred AS (SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM lb)""".stripMargin
+  }
+
   /** DuckDB mirror of Text.minhashMix(h, i): the SAME A/B/C literals
     * the Spark side uses, over a 60-bit base hash `h`.
     */
@@ -428,20 +447,9 @@ object OracleExt {
        |)""".stripMargin
 
   val sql: Map[String, String] = Map(
-    "q32_langid" -> {
-      val cnts = langs.map(l =>
-        s"len(list_filter(string_split(text, ' '), w -> w IN (${inList(Text.stopwords(l))}))) AS c_$l")
-        .mkString(",\n    ")
-      val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
-      val cases = langs.map(l =>
-        s"WHEN c_$l = best AND best > 0 THEN '$l'").mkString(" ")
-      s"""WITH c AS (SELECT doc_id,
-         |    $cnts
-         |  FROM documents),
-         |b AS (SELECT doc_id, c_en, c_fr, c_es, c_de, c_zh, $best AS best FROM c)
-         |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+    "q32_langid" ->
+      s"""WITH $langidPredCtes
+         |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
 
     "q33_quality_score" -> {
       val allStop = allStopwordsIn
