@@ -107,9 +107,11 @@ object Queries25 {
     *
     * Scale: region, nation and supplier are broadcast dims (supplier
     * is 10^-4 of lineitem); orders⋈lineitem is the one big SMJ, on
-    * the natural o/l_orderkey, with the year filter pushed to the
-    * orders scan; the s_nationkey = c_nationkey constraint applies at
-    * the already-joined row (no extra shuffle). AQE would re-plan the
+    * the natural o/l_orderkey, with the year filter expressed as a
+    * RANGE (not `year(col)=...`, which wraps the column and defeats
+    * parquet row-group pruning — PlanSpec asserts the pushdown); the
+    * s_nationkey = c_nationkey constraint applies at the
+    * already-joined row (no extra shuffle). AQE would re-plan the
     * post-filter orders side to broadcast at small SFs — both shapes
     * are correct; the joins stay equi throughout.
     */
@@ -118,7 +120,9 @@ object Queries25 {
       .join(broadcast(nation(s, d)),
         col("r_regionkey") === col("n_regionkey"))
       .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
-      .join(orders(s, d).filter(year(col("o_orderdate")) === 1996),
+      .join(orders(s, d).filter(
+          col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01"))),
         col("c_custkey") === col("o_custkey"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(supplier(s, d)),
@@ -223,7 +227,9 @@ object Oracle25 {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |  AND s_nationkey = c_nationkey
-        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q187_langid_confusion" ->

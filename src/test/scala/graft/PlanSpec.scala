@@ -444,4 +444,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(400))
     assert(!p.contains("SortMergeJoin"), p.take(400))
   }
+
+  test("q180: the top-50 vocab maps into the token pass as a broadcast") {
+    val p = simple("q180_vocab_kl")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q186: Q5-shape joins broadcast dims; the year RANGE pushes into the orders scan") {
+    val p = simple("q186_local_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    val pf = formatted("q186_local_revenue").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pf.contains("o_orderdate"), pf)
+  }
 }
