@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 batch 12: feature-store semantics — point-in-time joins
+  * with staleness bounds, leakage-safe training snapshots, and
+  * dictionary encoding.
+  *
+  *  - q196 is the feature-store READ path: each purchase looks up the
+  *    most recent prior view's value per user, but only if it is
+  *    fresh enough (1-h staleness bound) — the tolerance variant of
+  *    the q55/q98 as-of join, as one linear window pass.
+  *  - q197 is the leakage-safe training snapshot: features strictly
+  *    BEFORE a cutoff, labels strictly AFTER — the point-in-time
+  *    discipline that separates a valid churn model from a leaky one.
+  *  - q198 is dictionary encoding round-tripped: freq-ranked token
+  *    ids, docs re-encoded as id arrays, decoded back, and proven
+  *    lossless by content hash — the columnar-prep path a token
+  *    pipeline ships to training storage.
+  */
+object Queries28 {
+  import Tables._
+
+  private val dec = DecimalType(38, 18)
+
+  /** q196 — AS-OF JOIN WITH STALENESS TOLERANCE. For every purchase,
+    * the most recent preceding view's value for the same user,
+    * accepted only when the view is ≤ 1 h old at purchase time; the
+    * report gives match rate, the decimal-summed mean of accepted
+    * feature values, and the exact p50 staleness of accepted matches.
+    * q55/q98 declare the unbounded as-of; the tolerance bound is what
+    * a feature store adds so a stale feature can never silently leak
+    * into serving.
+    *
+    * Scale: ONE linear window pass per user partition —
+    * last(..., ignoreNulls) over a ROWS frame carries the prior
+    * view's (t, value); no time-range self-join, no fan-out. The
+    * frame total order (t, event_id) makes the carry deterministic
+    * under ties.
+    */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), unix_micros(col("ts")).as("t"))
+    e.withColumn("lv_t",
+        last(when(col("event_type") === "view", col("t")), true).over(w))
+      .withColumn("lv_val",
+        last(when(col("event_type") === "view", col("value")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("fresh",
+        col("lv_t").isNotNull && col("t") - col("lv_t") <= 3600000000L)
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("fresh"), 1L).otherwise(0L)).as("n_matched"),
+        round(sum(when(col("fresh"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("match_rate"),
+        round((sum(when(col("fresh"), col("lv_val")).cast(dec)) /
+          sum(when(col("fresh"), 1L).otherwise(0L))).cast("double"), 4)
+          .as("mean_feature"),
+        round(percentile(when(col("fresh"),
+          (col("t") - col("lv_t")).cast("double") / 1000000.0), lit(0.5)),
+          4).as("p50_staleness_s"))
+  }
+
+  /** q197 — LEAKAGE-SAFE CHURN SNAPSHOT. Cutoff = max(ts) − 7 days:
+    * features aggregate events STRICTLY BEFORE the cutoff (counts,
+    * purchases, active days, recency gap); the churn label is "no
+    * PURCHASE at-or-after the cutoff" (activity-churn never fires on
+    * a population this engaged — a label that cannot be true is a
+    * vacuous snapshot). Users with no pre-cutoff history are
+    * excluded (nothing to featurize). The report aggregates the
+    * snapshot per label so the class balance and feature separation
+    * are visible at a glance.
+    *
+    * Scale: the cutoff rides a 1-row broadcast; features and labels
+    * fold in ONE user-keyed partial+final aggregate (conditional
+    * sums on the cutoff predicate — no second pass, no join between
+    * feature and label sides); the report is a 2-row aggregate of
+    * the per-user snapshot.
+    */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    val cut = events(s, d)
+      .agg((max(unix_micros(col("ts"))) - 7L * 86400000000L).as("cut_us"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("t") < col("cut_us"), 1L).otherwise(0L))
+          .as("n_pre"),
+        sum(when(col("t") < col("cut_us") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch_pre"),
+        count_distinct(when(col("t") < col("cut_us"),
+          expr("t div 86400000000"))).as("days_active_pre"),
+        max(when(col("t") < col("cut_us"), col("t"))).as("last_pre"),
+        min(col("cut_us")).as("cut_us"),
+        sum(when(col("t") >= col("cut_us") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_post"))
+      .filter(col("n_pre") > 0)
+      .withColumn("churned", col("n_post") === 0)
+      .withColumn("gap_d", (col("cut_us") - col("last_pre"))
+        .cast("double") / 86400000000.0)
+      .groupBy(col("churned"))
+      .agg(count(lit(1)).as("n_users"),
+        round((sum(col("n_pre").cast(dec)) / count(lit(1)))
+          .cast("double"), 4).as("avg_events_pre"),
+        round((sum(col("n_purch_pre").cast(dec)) / count(lit(1)))
+          .cast("double"), 4).as("avg_purchases_pre"),
+        round((sum(col("days_active_pre").cast(dec)) / count(lit(1)))
+          .cast("double"), 4).as("avg_days_active"),
+        round((sum(col("gap_d").cast(dec)) / count(lit(1)))
+          .cast("double"), 4).as("avg_recency_gap_d"))
+      .orderBy(col("churned"))
+  }
+
+  /** q198 — DICTIONARY ENCODE/DECODE ROUND-TRIP. Tokens get dense ids
+    * ranked by (freq desc, token); every document is re-encoded as an
+    * id array (order-preserving), decoded back, and the round trip is
+    * proven lossless by md5 equality against the original text. The
+    * report: vocab size, token volume, and the lossless count — the
+    * columnar dictionary-encoding path, verified, not assumed.
+    *
+    * Scale: the dictionary is one census aggregate + a rank window
+    * over census rows; encoding is a token-keyed equi-join of the
+    * posexploded corpus against the dictionary (ids shuffle, text
+    * does not); reassembly sorts WITHIN each doc's collected array
+    * (sort_array on (pos, id) structs — deterministic, no global
+    * sort). At 100 TB the dictionary would be broadcast below ~1 GB
+    * or bucket-joined above it — same plan shape.
+    */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("orig_fp"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val dict = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+    val encoded = toks.join(dict.select(col("tok"), col("id")), Seq("tok"))
+      .groupBy(col("doc_id"), col("orig_fp"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, id))), p -> p.id)")
+        .as("ids"), count(lit(1)).as("n_tok"))
+    // decode: re-join ids back to tokens positionally and re-hash
+    val idToTok = dict.select(col("id").as("rid"), col("tok").as("rtok"))
+    val rt = encoded
+      .select(col("doc_id"), col("orig_fp"), col("n_tok"),
+        posexplode(col("ids")).as(Seq("pos", "rid")))
+      .join(idToTok, Seq("rid"))
+      .groupBy(col("doc_id"), col("orig_fp"), col("n_tok"))
+      .agg(md5(expr(
+        "array_join(transform(sort_array(collect_list(struct(pos, rtok))), p -> p.rtok), ' ')"))
+        .as("rt_fp"))
+    rt.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("rt_fp") === col("orig_fp"), 1L).otherwise(0L))
+          .as("n_lossless"))
+      .crossJoin(broadcast(dict.agg(count(lit(1)).as("vocab_size"))))
+      .select(col("vocab_size"), col("n_docs"), col("total_tokens"),
+        col("n_lossless"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_asof_tolerance" -> (q196 _),
+    "q197_churn_snapshot" -> (q197 _),
+    "q198_dict_roundtrip" -> (q198 _))
+}
+
+/** DuckDB mirrors of Queries28 — same frames, same cutoff rule, same
+  * rank order, same rounding (§7.4).
+  */
+object Oracle28 {
+
+  val sql: Map[String, String] = Map(
+    "q196_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_type, value, event_id,
+        |    epoch_ns(ts) // 1000 AS t
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN t END
+        |      IGNORE NULLS) OVER w AS lv_t,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END
+        |      IGNORE NULLS) OVER w AS lv_val
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *,
+        |    lv_t IS NOT NULL AND t - lv_t <= 3600000000 AS fresh
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  round(CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS match_rate,
+        |  round(CAST(sum(CASE WHEN fresh THEN
+        |      CAST(lv_val AS DECIMAL(38,18)) END) AS DOUBLE) /
+        |    sum(CASE WHEN fresh THEN 1 ELSE 0 END), 4) AS mean_feature,
+        |  round(quantile_cont(CASE WHEN fresh THEN
+        |    CAST(t - lv_t AS DOUBLE) / 1000000.0 END, 0.5), 4)
+        |    AS p50_staleness_s
+        |FROM p""".stripMargin,
+
+    "q197_churn_snapshot" ->
+      """WITH cut AS (SELECT max(epoch_ns(ts) // 1000)
+        |    - 7 * 86400000000 AS cut_us FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN t < cut_us THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pre,
+        |    CAST(sum(CASE WHEN t < cut_us AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purch_pre,
+        |    count(DISTINCT CASE WHEN t < cut_us
+        |      THEN t // 86400000000 END) AS days_active_pre,
+        |    max(CASE WHEN t < cut_us THEN t END) AS last_pre,
+        |    min(cut_us) AS cut_us,
+        |    CAST(sum(CASE WHEN t >= cut_us AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+        |  FROM (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+        |    FROM events), cut
+        |  GROUP BY user_id),
+        |snap AS (SELECT *, n_post = 0 AS churned,
+        |    CAST(cut_us - last_pre AS DOUBLE) / 86400000000.0 AS gap_d
+        |  FROM u WHERE n_pre > 0)
+        |SELECT churned, count(*) AS n_users,
+        |  round(CAST(sum(CAST(n_pre AS DECIMAL(38,18))) AS DOUBLE)
+        |    / count(*), 4) AS avg_events_pre,
+        |  round(CAST(sum(CAST(n_purch_pre AS DECIMAL(38,18))) AS DOUBLE)
+        |    / count(*), 4) AS avg_purchases_pre,
+        |  round(CAST(sum(CAST(days_active_pre AS DECIMAL(38,18)))
+        |    AS DOUBLE) / count(*), 4) AS avg_days_active,
+        |  round(CAST(sum(CAST(gap_d AS DECIMAL(38,18))) AS DOUBLE)
+        |    / count(*), 4) AS avg_recency_gap_d
+        |FROM snap GROUP BY churned ORDER BY churned""".stripMargin,
+
+    "q198_dict_roundtrip" ->
+      """WITH t0 AS (SELECT doc_id, md5(text) AS orig_fp,
+        |    string_split(text, ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |ti AS (SELECT doc_id, orig_fp, ts,
+        |    unnest(range(1, len(ts) + 1)) AS pos FROM t0),
+        |toks AS (SELECT doc_id, orig_fp, pos, ts[pos] AS tok FROM ti),
+        |dict AS (SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+        |      AS INTEGER) AS id
+        |  FROM toks GROUP BY tok),
+        |enc AS (SELECT t.doc_id, t.orig_fp,
+        |    list(d.id ORDER BY t.pos) AS ids,
+        |    count(*) AS n_tok
+        |  FROM toks t JOIN dict d ON t.tok = d.tok
+        |  GROUP BY t.doc_id, t.orig_fp),
+        |di AS (SELECT doc_id, orig_fp, n_tok, ids,
+        |    unnest(range(1, len(ids) + 1)) AS pos FROM enc),
+        |dec AS (SELECT di.doc_id, di.orig_fp, di.n_tok,
+        |    md5(string_agg(d.tok, ' ' ORDER BY di.pos)) AS rt_fp
+        |  FROM di JOIN dict d ON di.ids[di.pos] = d.id
+        |  GROUP BY di.doc_id, di.orig_fp, di.n_tok)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dict) AS vocab_size,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN rt_fp = orig_fp THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lossless
+        |FROM dec""".stripMargin)
+}
