@@ -363,14 +363,14 @@ object OracleExt {
     "list_transform(range(1, greatest(len(toks)-2, 1) + 1), " +
       "i -> array_to_string(toks[i:i+2], ' '))"
 
-  private def dot(a: String, b: String): String =
+  private[graft] def dot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def sumsq(a: String): String =
+  private[graft] def sumsq(a: String): String =
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-  private def cosine(a: String, b: String): String =
+  private[graft] def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)}))"
 
   /** Hamming distance between two n-char '0'/'1' bucket strings —
