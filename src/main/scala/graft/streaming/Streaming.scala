@@ -485,6 +485,53 @@ object Streaming {
       }
   }
 
+  // ---- T13: streaming as-of feature serve (the q196 serving twin) -----
+
+  case class FeatEvent(user: Long, kind: String, t: Long, id: Long,
+      value: Double)
+  case class ViewState(t: Long, value: Double)
+  case class Served(user: Long, t: Long, id: Long, fresh: Boolean,
+      feature: Option[Double], staleness_us: Option[Long])
+
+  /** Streaming point-in-time feature lookup: per-user state carries
+    * the latest view's (t, value); each purchase is served the
+    * feature iff it is within `tolUs` of that view — the SERVING
+    * path of q196's batch as-of-with-tolerance. Within a batch, rows
+    * fold in (t, id) order, so when the input arrives in event-time
+    * order the emitted enrichments are row-identical to q196's
+    * ROWS-frame window under ANY batch split (the q93/T12
+    * incremental contract, differential-proved in StreamingSpec).
+    *
+    * Scale: per-user state is ONE (t, value) pair — constant bytes
+    * per key forever; no time-range join state, no buffered event
+    * log. The same shape extends to a feature VECTOR by widening the
+    * state struct, never by widening a join.
+    */
+  def asofServe(ds: Dataset[FeatEvent], tolUs: Long)(
+      implicit spark: SparkSession): Dataset[Served] = {
+    import spark.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[ViewState, Served](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FeatEvent],
+            state: GroupState[ViewState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.t, e.id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Served]
+          var st = state.getOption
+          sorted.foreach { e =>
+            if (e.kind == "view") st = Some(ViewState(e.t, e.value))
+            else if (e.kind == "purchase") {
+              val fresh = st.exists(v => e.t - v.t <= tolUs)
+              out += Served(user, e.t, e.id, fresh,
+                if (fresh) st.map(_.value) else None,
+                if (fresh) st.map(v => e.t - v.t) else None)
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // ---- stream-stream join ---------------------------------------------
 
   /** Watermarked stream-stream inner join: left events matched to

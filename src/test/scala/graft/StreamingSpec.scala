@@ -632,4 +632,54 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("T13 differential: streaming as-of serve == batch ROWS-frame under any batch split") {
+    import org.apache.spark.sql.expressions.Window
+    import Streaming.{FeatEvent, Served}
+    val tol = 3600000000L
+    val e = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"),
+        $"event_id", $"value")
+    // the q196 core: prior-view carry over a (t, id)-ordered ROWS frame
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = e
+      .withColumn("lv_t",
+        last(when($"event_type" === "view", $"t"), true).over(w))
+      .withColumn("lv_val",
+        last(when($"event_type" === "view", $"value"), true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("fresh", $"lv_t".isNotNull && $"t" - $"lv_t" <= tol)
+      .select($"user_id", $"event_id", $"fresh",
+        when($"fresh", $"lv_val").as("feature"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // feed the SAME rows in global event-time order, split differently
+    val rows = e.orderBy($"t", $"event_id").collect().map(r =>
+      FeatEvent(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    def run(name: String, nSplits: Int): Set[(Long, Long, Boolean, Option[Double])] = {
+      val in = MemoryStream[FeatEvent](spark)
+      val q = Streaming.asofServe(in.toDS(), tol)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val size = math.max(1, rows.size / nSplits)
+        rows.grouped(size).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        spark.table(name).as[Served].collect()
+          .map(s => (s.user, s.id, s.fresh, s.feature)).toSet
+      } finally q.stop()
+    }
+    val one = run("t13one", 1)
+    val five = run("t13five", 5)
+    assert(one.nonEmpty && one.exists(_._3) && one.exists(!_._3),
+      "expected both fresh and stale purchases in the fixture")
+    assert(one == batch,
+      s"stream\\batch=${(one -- batch).take(3)}, batch\\stream=${(batch -- one).take(3)}")
+    assert(five == batch, "batch-split invariance violated")
+  }
 }
