@@ -450,6 +450,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(400))
   }
 
+  test("q193: burst windows need no join — one window pass + aggregate") {
+    val p = simple("q193_burst_windows")
+    assert(!p.contains("Join"), p.take(400))
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("q201: Q7-shape keeps equi-joins; the OR pair predicate is a filter, not a cartesian") {
+    val p = simple("q201_nation_pair_trade")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("q186: Q5-shape joins broadcast dims; the year RANGE pushes into the orders scan") {
     val p = simple("q186_local_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
