@@ -26,7 +26,7 @@ object Queries30 {
   private val dec = DecimalType(38, 18)
 
   /** q201 — NATION-PAIR TRADE (the TPC-H Q7 shape). Line-item revenue
-    * between NATION_1 and NATION_2 in both directions, by ship year.
+    * between NATION_18 and NATION_19 in both directions (a pair populated in both directions at every test SF, so the driver's rows>0 smoke check holds at sf0.001), by ship year.
     * The (n1,n2)|(n2,n1) OR predicate stays a POST-JOIN filter on two
     * broadcast dimension names — folding it into join keys would
     * break the equi-join (the classic Q7 trap); all five joins remain
@@ -49,10 +49,10 @@ object Queries30 {
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sk"))
       .join(broadcast(n2), col("c_nationkey") === col("ck"))
-      .filter((col("supp_nation") === "NATION_1" &&
-          col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" &&
-          col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_18" &&
+          col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" &&
+          col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(count(lit(1)).as("n_items"),
@@ -186,8 +186,8 @@ object Oracle30 {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
