@@ -82,6 +82,10 @@ object Queries31 {
     * joins and windows inherit the bound.
     */
   def q205(s: SparkSession, d: String): DataFrame = {
+    // the keep-side logic is Skew.rateCap (the standalone operator,
+    // ScaleOpsSpec-proved on a planted hot key); the REPORT needs the
+    // dropped rows too, so it keeps the rank in-line — one window
+    // pass, no join back
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("prio"), col("event_id"))
     events(s, d)

@@ -106,4 +106,19 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Per-key rate cap (q205/X115): keep at most `k` rows per key,
+    * chosen by deterministic priority (`prioCol`, ties broken by
+    * `tieCol`) — the hot-key bound applied at ingest, BEFORE any
+    * downstream shuffle can melt on a runaway key. Deterministic
+    * under restarts and any input partitioning, unlike "first k
+    * seen"; downstream joins and windows inherit the bound.
+    */
+  def rateCap(df: DataFrame, keyCol: Column, prioCol: Column,
+      tieCol: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(prioCol, tieCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
 }

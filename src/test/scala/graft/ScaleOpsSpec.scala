@@ -394,4 +394,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(variants.head == window,
       s"aggregator top-k != window top-k")
   }
+
+  test("rateCap: planted hot key bounded to k, cold keys untouched, partition-invariant") {
+    // one runaway key with 5000 rows, 50 cold keys with ≤ 20 each
+    val rows = (1 to 5000).map(i => (999L, i.toLong)) ++
+      (1 to 50).flatMap(k => (1 to (k % 20) + 1).map(i =>
+        (k.toLong, (100000 + k * 100 + i).toLong)))
+    val df = rows.toDF("key", "id")
+      .withColumn("prio",
+        graft.functions.Text.md5Long($"id".cast("string")))
+    def kept(parts: Int): Set[(Long, Long)] =
+      Skew.rateCap(df.repartition(parts), $"key", $"prio", $"id", 30)
+        .select($"key", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k1 = kept(1)
+    // (a) the hot key is bounded to exactly k
+    assert(k1.count(_._1 == 999L) == 30)
+    // (b) cold keys (all under the cap) pass through complete
+    val cold = rows.filter(_._1 != 999L).toSet
+    assert(cold.subsetOf(k1))
+    // (c) the kept SET is invariant under input partitioning — the
+    // md5 priority, not arrival order, decides survival
+    assert(kept(8) == k1 && kept(32) == k1)
+  }
 }
