@@ -410,6 +410,26 @@ object OracleExt {
     s"((($h & ${(1L << 30) - 1}) * ${Text.minhashA(i)} + " +
       s"($h >> 30) * ${Text.minhashB(i)} + ${Text.minhashC(i)}) % ${1L << 60})"
 
+  /** The trigram inverted-index pair chain ending in
+    * `jac(a_id, b_id, jaccard)` (UNROUNDED jaccard) — the single
+    * source of the q37 pair formula, shared with the q211 threshold
+    * sweep so the two cannot drift.
+    */
+  private[graft] val ngramJacCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_int
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jac AS (SELECT a_id, b_id,
+       |    CAST(n_int AS DOUBLE) /
+       |      CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON a_id = sa.doc_id
+       |  JOIN sz sb ON b_id = sb.doc_id)""".stripMargin
+
   /** The minhash-LSH banding CTE prefix ending in
     * `bands(doc_id, band, bucket)` — the single source of the banding
     * formula, shared by the pair form below and the incremental-lookup
@@ -493,19 +513,9 @@ object OracleExt {
     },
 
     "q37_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS shingle FROM t),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_int
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT a_id, b_id,
-         |  round(CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE), 4) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON a_id = sa.doc_id
-         |JOIN sz sb ON b_id = sb.doc_id
-         |WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.12
+      s"""WITH $ngramJacCtes
+         |SELECT a_id, b_id, round(jaccard, 4) AS jaccard
+         |FROM jac WHERE jaccard >= 0.12
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q38_embed_neardup" ->
