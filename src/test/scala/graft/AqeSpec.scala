@@ -121,4 +121,22 @@ class AqeSpec extends SparkSpec {
         assert(static == adaptive, s"$name diverged under AQE")
       }
   }
+
+  test("AQE: the round-7 TPC-H shapes keep equi-joins and identical results") {
+    // Q5 (q186) and Q7 (q201): no cartesian/BNLJ may appear in the
+    // final adaptive plan, and results must match the static planner
+    val p186 = ranPlan("q186_local_revenue")
+    assert(!p186.contains("CartesianProduct") &&
+      !p186.contains("BroadcastNestedLoopJoin"), p186.take(400))
+    val p201 = ranPlan("q201_nation_pair_trade")
+    assert(!p201.contains("CartesianProduct") &&
+      !p201.contains("BroadcastNestedLoopJoin"), p201.take(400))
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    Seq("q186_local_revenue", "q201_nation_pair_trade").foreach { name =>
+      val static = rows(name)
+      val adaptive = withAqe(rows(name))
+      assert(static == adaptive, s"$name diverged under AQE")
+    }
+  }
 }
