@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 batch 20: ranking-quality evaluation of a churn signal —
+  * the two metrics every scored-table consumer asks for next, after
+  * q187's confusion matrix and q208's kNN accuracy.
+  *
+  *  - q213 computes EXACT AUC for "pre-cutoff event count predicts
+  *    retention" via the rank-sum (Mann–Whitney) identity with
+  *    average-rank tie handling — integer/rational arithmetic until
+  *    one final division.
+  *  - q214 is the decile lift chart for the same signal: churn rate
+  *    and lift per score decile — how campaigns actually consume a
+  *    score.
+  */
+object Queries36 {
+  import Tables._
+
+  private val dec = DecimalType(38, 18)
+
+  /** The q197 snapshot core shared by q213/q214: per-user pre-cutoff
+    * activity (the score) and the post-cutoff purchase-churn label.
+    */
+  private def snapshot(s: SparkSession, d: String): DataFrame = {
+    val cut = events(s, d)
+      .agg((max(unix_micros(col("ts"))) - 7L * 86400000000L).as("cut_us"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("t") < col("cut_us"), 1L).otherwise(0L))
+          .as("n_pre"),
+        sum(when(col("t") >= col("cut_us") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_post"))
+      .filter(col("n_pre") > 0)
+      .withColumn("churned", col("n_post") === 0)
+  }
+
+  /** q213 — EXACT AUC VIA RANK-SUM. Does pre-cutoff activity rank
+    * retained users above churned ones? AUC from the Mann–Whitney
+    * identity: average ranks over the score (ties → mean rank, the
+    * exact tie convention), U = Σranks(positives) − n₁(n₁+1)/2,
+    * AUC = U / (n₁·n₀). Every input is an integer or an exact
+    * rational (average ranks are k/2); the one division at the end
+    * is correctly rounded — no sampling, no approximation.
+    *
+    * Scale: ranks are a window over the per-user AGGREGATE rows
+    * (never events); the rest is a 1-row reduction. At 10^9 users
+    * the rank pass is a sort of the score column — or the X75
+    * sketch buckets for an approximate AUC with known error.
+    */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val snap = snapshot(s, d)
+    // average rank over ties: (min_rank + max_rank) / 2 per score,
+    // expressed as rank() + (count_ties - 1)/2
+    val byScore = Window.orderBy(col("n_pre"))
+    val ranked = snap
+      .withColumn("r_min", rank().over(byScore))
+      .withColumn("ties", count(lit(1)).over(
+        Window.partitionBy(col("n_pre"))))
+      .withColumn("avg_rank",
+        col("r_min").cast("double") +
+          (col("ties") - lit(1)).cast("double") / 2.0)
+    ranked.agg(
+        sum(when(!col("churned"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(!col("churned"), col("avg_rank")).otherwise(lit(0.0))
+          .cast(dec)).as("rank_sum_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rank_sum_pos").cast("double") -
+          col("n_pos").cast("double") *
+            (col("n_pos") + lit(1)).cast("double") / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")),
+          4).as("auc"))
+  }
+
+  /** q214 — DECILE LIFT CHART. Users binned into score deciles
+    * (ntile over n_pre desc, user_id tiebreak — the deterministic
+    * total order); per decile: users, churners, churn rate, and
+    * lift vs the base rate. The consumption format of a score:
+    * "call the top two deciles".
+    *
+    * Scale: ntile + the per-decile aggregate run over per-user
+    * AGGREGATE rows; the base rate rides a 1-row broadcast.
+    */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    val snap = snapshot(s, d)
+    val byScore = Window.orderBy(col("n_pre").desc, col("user_id"))
+    val base = snap.agg((sum(when(col("churned"), 1L).otherwise(0L))
+      .cast("double") / count(lit(1)).cast("double")).as("base_rate"))
+    snap.withColumn("decile", ntile(10).over(byScore))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .crossJoin(broadcast(base))
+      .select(col("decile"), col("n_users"), col("n_churned"),
+        round(col("n_churned").cast("double") /
+          col("n_users").cast("double"), 4).as("churn_rate"),
+        round((col("n_churned").cast("double") /
+          col("n_users").cast("double")) / col("base_rate"), 4)
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_churn_auc" -> (q213 _),
+    "q214_lift_deciles" -> (q214 _))
+}
+
+/** DuckDB mirrors of Queries36 — same snapshot rule, same
+  * average-rank tie convention, same decile order.
+  */
+object Oracle36 {
+
+  private val snapCtes =
+    """cut AS (SELECT max(epoch_ns(ts) // 1000) - 7 * 86400000000
+      |    AS cut_us FROM events),
+      |snap AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN t < cut_us THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pre,
+      |    CAST(sum(CASE WHEN t >= cut_us AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+      |  FROM (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+      |    FROM events), cut
+      |  GROUP BY user_id HAVING sum(CASE WHEN t < cut_us THEN 1
+      |    ELSE 0 END) > 0),
+      |lab AS (SELECT user_id, n_pre, n_post = 0 AS churned FROM snap)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q213_churn_auc" ->
+      s"""WITH $snapCtes,
+         |rk AS (SELECT *,
+         |    rank() OVER (ORDER BY n_pre) AS r_min,
+         |    count(*) OVER (PARTITION BY n_pre) AS ties
+         |  FROM lab),
+         |ar AS (SELECT churned,
+         |    CAST(r_min AS DOUBLE) + CAST(ties - 1 AS DOUBLE) / 2.0
+         |      AS avg_rank
+         |  FROM rk)
+         |SELECT
+         |  CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neg,
+         |  round((CAST(sum(CAST(CASE WHEN NOT churned THEN avg_rank
+         |      ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE) -
+         |    CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END)
+         |      AS DOUBLE) *
+         |    CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END) + 1
+         |      AS DOUBLE) / 2.0) /
+         |    (CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END)
+         |      AS DOUBLE) *
+         |     CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS DOUBLE)),
+         |    4) AS auc
+         |FROM ar""".stripMargin,
+
+    "q214_lift_deciles" ->
+      s"""WITH $snapCtes,
+         |b AS (SELECT CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*) AS base_rate FROM lab),
+         |d AS (SELECT *,
+         |    CAST(ntile(10) OVER (ORDER BY n_pre DESC, user_id)
+         |      AS INTEGER) AS decile
+         |  FROM lab),
+         |g AS (SELECT decile, count(*) AS n_users,
+         |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_churned
+         |  FROM d GROUP BY decile)
+         |SELECT decile, n_users, n_churned,
+         |  round(CAST(n_churned AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+         |    AS churn_rate,
+         |  round((CAST(n_churned AS DOUBLE) / CAST(n_users AS DOUBLE))
+         |    / b.base_rate, 4) AS lift
+         |FROM g, b ORDER BY decile""".stripMargin)
+}
