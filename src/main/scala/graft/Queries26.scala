@@ -142,8 +142,12 @@ object Queries26 {
     val tops = topShares.agg(
       sum(when(col("r") === 1, col("n")).otherwise(lit(0L))).as("top1"),
       sum(when(col("r") <= 10, col("n")).otherwise(lit(0L))).as("top10"))
+    // rank·count products summed as DECIMAL(38,0): a LongType sum of
+    // i*n wraps at ~10^9 users × big volumes, while DuckDB promotes
+    // BIGINT sums to HUGEINT — decimal keeps cross-engine parity
     ranked.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
-        sum(col("i") * col("n")).as("ws"))
+        sum((col("i").cast(DecimalType(19, 0)) * col("n"))
+          .cast(DecimalType(38, 0))).as("ws"))
       .crossJoin(broadcast(tops))
       .select(col("n_users"), col("n_events"),
         round(lit(2.0) * col("ws").cast("double") /

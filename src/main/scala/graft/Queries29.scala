@@ -40,6 +40,9 @@ object Queries29 {
     val hps: Seq[Seq[Double]] = e.filter(col("vec_id").between(1, 4))
       .orderBy(col("vec_id")).select(col("embedding"))
       .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    // fail loudly on a bad fixture: a missing hyperplane would silently
+    // shorten every bucket string and make the recall query vacuous
+    require(hps.size == 4, s"q199 expects hyperplanes vec_id 1..4, got ${hps.size}")
     val corpus = e.select(col("vec_id"), col("embedding"),
       operators.Ann.lshBucket(col("embedding"), hps).as("bucket"))
     val probes = e.filter(col("vec_id") % 25 === 0)

@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.DecimalType
 object Queries31 {
   import Tables._
 
+  // q204's scratch dir must be unique PER INVOCATION, not just per
+  // process: two concurrent q204 runs in one JVM (parallel suites,
+  // the AQE twin) would otherwise race on the v=1/v=2 overwrites
+  // between v2's write and the post-write v1 read, breaking the very
+  // isolation the query audits.
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** q204 — VERSIONED-SNAPSHOT TIME TRAVEL. Snapshot v1 is the base
     * corpus (doc_id, lang, content fp); snapshot v2 applies the
     * q185 crawl-generation derivation (drop %17, revise %13, add
@@ -39,7 +46,8 @@ object Queries31 {
     * here is identical.
     */
   def q204(s: SparkSession, d: String): DataFrame = {
-    val dir = Tables.scratchDir("timetravel", d)
+    val dir = Tables.scratchDir("timetravel", d) +
+      "_i" + invocation.incrementAndGet()
     val base = documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
     base.select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),

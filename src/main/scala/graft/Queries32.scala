@@ -73,9 +73,16 @@ object Queries32 {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        // moment products summed as DECIMAL(38,0): a LongType sum of
+        // x*x wraps (or throws under ANSI) at big n_chars volumes,
+        // while DuckDB's BIGINT sum promotes to HUGEINT — decimal
+        // keeps the two engines exact-equal at any scale
+        sum((col("x").cast(DecimalType(19, 0)) * col("x"))
+          .cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y").cast(DecimalType(19, 0)) * col("y"))
+          .cast(DecimalType(38, 0))).as("syy"),
+        sum((col("x").cast(DecimalType(19, 0)) * col("y"))
+          .cast(DecimalType(38, 0))).as("sxy"))
       .select(col("lang"), col("n"),
         round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /

@@ -118,7 +118,11 @@ object Skew {
       tieCol: Column, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(prioCol, tieCol)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k).drop("__rk")
+    // collision-safe temp name: withColumn on a caller-owned "__rk"
+    // would silently replace it and the trailing drop would eat it
+    val rk = Iterator.from(0).map(i => s"__rk$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k).drop(rk)
   }
 }

@@ -519,8 +519,14 @@ object Streaming {
           val out = scala.collection.mutable.ArrayBuffer.empty[Served]
           var st = state.getOption
           sorted.foreach { e =>
-            if (e.kind == "view") st = Some(ViewState(e.t, e.value))
-            else if (e.kind == "purchase") {
+            // Cross-batch monotonicity guard: a view landing in a LATER
+            // micro-batch with an EARLIER event time must not rewind the
+            // stored state (it would silently diverge from the q196 batch
+            // twin). Out-of-order views are dropped, so disorder degrades
+            // predictably instead of corrupting per-user state.
+            if (e.kind == "view") {
+              if (st.forall(_.t <= e.t)) st = Some(ViewState(e.t, e.value))
+            } else if (e.kind == "purchase") {
               val fresh = st.exists(v => e.t - v.t <= tolUs)
               out += Served(user, e.t, e.id, fresh,
                 if (fresh) st.map(_.value) else None,
