@@ -227,8 +227,12 @@ object QueriesExt {
   }
 
   /** FFT features per user over the time-ordered event-value signal
-    * (F6/F7; no oracle — FFT is not DuckDB-expressible; golden values
-    * in EnrichMlSpec).
+    * (F6/F7). Oracled since round 8: the radix-2 FFT equals the DFT
+    * of the zero-padded signal, and a brute-force O(n·k) DFT IS
+    * DuckDB-expressible at fixture array sizes — see the
+    * q49_fft_features entry in OracleExt. NumPy cross-check
+    * (tools/check_ml.py) and EnrichMlSpec goldens stay as
+    * belt-and-braces.
     */
   def q49(s: SparkSession, d: String): DataFrame = {
     import graft.ml.Fft
@@ -612,6 +616,51 @@ object OracleExt {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    // Brute-force O(n·k) DFT over the zero-padded per-user signal —
+    // closes the FFT oracle gap: the radix-2 FFT equals the DFT of the
+    // padded signal in exact math, and the rounded features (freq is a
+    // bin-index ratio k/n, energy is Σx² by Parseval) are fp-robust.
+    // Signal order mirrors sort_array(struct(ts, event_id, value)):
+    // (user_id, ts, event_id) is unique in the fixture, so ORDER BY
+    // ts, event_id reproduces it; padding to the next power of two via
+    // an exact integer powers table (no float log2).
+    "q49_fft_features" ->
+      """WITH sig AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS j
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |cnt AS (SELECT user_id, count(*) AS m FROM sig GROUP BY user_id),
+        |pows AS (SELECT CAST(power(2, g) AS BIGINT) AS n FROM generate_series(0, 20) t(g)),
+        |dims AS (SELECT c.user_id, c.m, (SELECT min(n) FROM pows WHERE n >= c.m) AS n FROM cnt c),
+        |bins AS (
+        |  SELECT d.user_id, d.n, t.k
+        |  FROM dims d, LATERAL (SELECT unnest(generate_series(1, CAST(d.n // 2 AS BIGINT))) AS k) t
+        |),
+        |spec AS (
+        |  SELECT b.user_id, b.n, b.k,
+        |    sum(s.value * cos(2 * pi() * b.k * s.j / b.n)) AS re,
+        |    sum(0.0 - s.value * sin(2 * pi() * b.k * s.j / b.n)) AS im
+        |  FROM bins b JOIN sig s ON s.user_id = b.user_id
+        |  GROUP BY b.user_id, b.n, b.k
+        |),
+        |ranked AS (
+        |  SELECT user_id, n, k, re * re + im * im AS mag2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY re * re + im * im DESC, k) AS rk
+        |  FROM spec
+        |),
+        |dom AS (
+        |  SELECT user_id,
+        |    CASE WHEN mag2 = 0.0 THEN 0.0 ELSE k * 1.0 / n END AS df
+        |  FROM ranked WHERE rk = 1
+        |),
+        |energy AS (SELECT user_id, sum(value * value) AS e FROM sig GROUP BY user_id)
+        |SELECT c.user_id,
+        |  round(coalesce(CASE WHEN c.m < 2 THEN 0.0 ELSE d.df END, 0.0), 6) AS dom_freq,
+        |  round(en.e, 4) AS spec_energy
+        |FROM cnt c LEFT JOIN dom d USING (user_id) JOIN energy en USING (user_id)
+        |ORDER BY c.user_id""".stripMargin,
 
     "q51_balanced_sample" ->
       """SELECT doc_id, lang, rn FROM (
