@@ -177,18 +177,22 @@ object Oracle13 {
          |  ON ex.event_type IS NOT DISTINCT FROM fin.event_type
          |ORDER BY ex.event_type""".stripMargin,
 
-    // q48 oracle BACKFILL (was NumPy-only through round 5): the synth
-    // media table and the FakeCodec pixel cycle are deterministic
-    // integer arithmetic (Multimodal.scala:73-85, 43-47), so the whole
-    // byte-histogram/mean/entropy pipeline is SQL-expressible. Pixel
-    // sums are integer-valued doubles (exact in any order); the
-    // entropy sum walks the histogram in bucket order on both engines
+    // q48 oracle (backfilled round 5→6, REAL-decode form since round
+    // 8): image payloads are genuine PNGs whose grayscale grid is the
+    // deterministic formula below — PNG is lossless, so the DECODED
+    // samples equal the formula and the whole histogram/mean/entropy
+    // pipeline stays SQL-expressible. Audio is raw 8-bit PCM (n =
+    // plen samples); images decode w*h pixels. Pixel sums are
+    // integer-valued doubles (exact in any order); the entropy sum
+    // walks the histogram in bucket order on both engines
     // (list(c ORDER BY b) mirrors the Scala hist-array iteration).
     "q48_multimodal_features" ->
       """WITH ids AS (SELECT unnest(range(200)) AS id),
         |m AS (SELECT id, CASE WHEN id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
         |    8 + id % 5 AS w, 8 + id % 3 AS h, 64 + (id % 17) * 7 AS plen FROM ids),
-        |px AS (SELECT id, kind, w * h AS n, plen, unnest(range(w * h)) AS j FROM m),
+        |d AS (SELECT id, kind, plen,
+        |    CASE WHEN kind = 'image' THEN w * h ELSE plen END AS n FROM m),
+        |px AS (SELECT id, kind, n, plen, unnest(range(n)) AS j FROM d),
         |pv AS (SELECT id, kind, n, plen,
         |    (id * 131 + (j % plen) * 31 + 7) % 251 AS p FROM px),
         |mean AS (SELECT id, CAST(sum(p) AS DOUBLE) / n AS byte_mean
@@ -202,7 +206,7 @@ object Oracle13 {
         |      c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)))
         |      AS byte_entropy
         |  FROM hl)
-        |SELECT ent.id AS media_id, kind, CAST(plen AS INTEGER) AS n_bytes,
+        |SELECT ent.id AS media_id, kind, CAST(n AS INTEGER) AS n_px,
         |  round(byte_mean, 4) AS byte_mean,
         |  round(byte_entropy, 4) AS byte_entropy, e.label
         |FROM ent JOIN mean USING (id) JOIN embeddings e ON ent.id = e.vec_id

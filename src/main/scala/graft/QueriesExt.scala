@@ -210,17 +210,20 @@ object QueriesExt {
       bits = 48, bands = 4, maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Multimodal feature extraction surfaced in the driver harness
-    * (no DuckDB oracle — binary decode is not SQL-expressible; the
-    * driver records a rows-only check and MultimodalSpec covers
-    * values): deterministic synthetic media → batched decode/features
-    * → joined with the sf embeddings table.
+  /** Multimodal feature extraction surfaced in the driver harness:
+    * deterministic synthetic media (REAL PNG payloads since round 8,
+    * decoded through javax.imageio per partition) → batched
+    * decode/features → joined with the sf embeddings table. Oracled
+    * because PNG is lossless: the decoded samples equal the
+    * generation formula, which IS DuckDB-expressible (Oracle13).
+    * The projection reports `n_px` (decoded sample count) rather
+    * than the PNG container size, which no SQL engine can recompute.
     */
   def q48(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Multimodal
     val feats = Multimodal.extractFeatures(Multimodal.synthMedia(s, 200)).toDF()
     Multimodal.joinWithEmbeddings(feats, embeddings(s, d))
-      .select(col("media_id"), col("kind"), col("n_bytes"),
+      .select(col("media_id"), col("kind"), col("n_px"),
         round(col("byte_mean"), 4).as("byte_mean"),
         round(col("byte_entropy"), 4).as("byte_entropy"), col("label"))
       .orderBy(col("media_id"))

@@ -105,27 +105,28 @@ def check_q48():
         f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'").fetchall())
     mismatches = []
     rows = spark_rows("q48_multimodal_features", "media_id")
-    for media_id, kind, n_bytes, byte_mean, byte_entropy, label in rows:
+    for media_id, kind, n_px, byte_mean, byte_entropy, label in rows:
         mid = media_id
         kind_np = "audio" if mid % 3 == 2 else "image"
         w, h = 8 + mid % 5, 8 + mid % 3
         plen = 64 + (mid % 17) * 7
-        payload = [(mid * 131 + i * 31 + 7) % 251 for i in range(plen)]
-        npx = max(w * h, 1)
-        pixels = [payload[i % plen] for i in range(npx)]
+        # image payloads are real PNGs of this formula grid (lossless
+        # decode); audio is the raw formula bytes as 8-bit PCM
+        npx = max(w * h, 1) if kind_np == "image" else plen
+        pixels = [(mid * 131 + (i % plen) * 31 + 7) % 251 for i in range(npx)]
         hist = [0] * 16
         for p in pixels:
             hist[p // 16] += 1
         mean_np = sum(pixels) / npx
         ent_np = -sum((c / npx) * math.log(c / npx) for c in hist if c > 0)
-        ok = (kind == kind_np and n_bytes == plen
+        ok = (kind == kind_np and n_px == npx
               and abs(byte_mean - mean_np) <= 2e-4
               and abs(byte_entropy - ent_np) <= 2e-4
               and label == labels.get(mid))
         if not ok:
             mismatches.append({"media_id": mid,
-                               "spark": [kind, n_bytes, byte_mean, byte_entropy, label],
-                               "python": [kind_np, plen, round(mean_np, 4),
+                               "spark": [kind, n_px, byte_mean, byte_entropy, label],
+                               "python": [kind_np, npx, round(mean_np, 4),
                                           round(ent_np, 4), labels.get(mid)]})
     return {"rows": len(rows), "mismatches": mismatches,
             "ok": len(rows) > 0 and not mismatches}
