@@ -147,6 +147,51 @@ class FloodScaleSpec extends SparkSpec {
     assert(r.getAs[Long]("n_multi_fps") == 347L, r.toString)
   }
 
+  /** Round-7 verdict item 4: turn "bounded at one size" into "bounded
+    * GROWTH". A corpus whose flood AND genuine content both scale 4×
+    * (3k → 12k flood docs, twins ∝ flood) must grow every capped
+    * path's output EXACTLY 4× — a quadratic leak anywhere would show
+    * up as 16× pair growth or ~16× dropped-window volume. All
+    * assertions are exact row counts (deterministic hashes, identical
+    * twin texts), never wall-time.
+    */
+  test("two-point scale probe: capped-path outputs grow linearly with corpus size") {
+    case class Counts(lsh: Long, spans: Long, droppedW: Long, jacc: Long)
+    def measure(floodN: Int): (Counts, Long) = {
+      val nTwins = floodN / 500
+      val rows = (0 until floodN).map(i =>
+          (10000L + i, s"$Boiler fu${i}a fu${i}b")) ++
+        (0 until nTwins).flatMap { p =>
+          val text = (0 until 80).map(i => s"g${p}w$i").mkString(" ")
+          Seq((500000L + 2 * p, text), (500001L + 2 * p, text))
+        }
+      val c = rows.toDF("doc_id", "text").repartition(8).cache()
+      c.count()
+      val out = Counts(
+        Dedup.lshCandidates(c, $"text", $"doc_id", n = LshStages.ShingleN,
+          bands = LshStages.Bands, rowsPerBand = LshStages.RowsPerBand,
+          maxBucket = Queries13.MaxBucket).count(),
+        Dedup.dupSpans(c, $"text", $"doc_id", windowTokens = 20,
+          minSpanWindows = 21, maxDf = Queries17.MaxWindowDf).count(),
+        Dedup.windowDfProfile(c, $"text", $"doc_id", windowTokens = 20,
+          maxDf = Queries17.MaxWindowDf)
+          .collect()(0).getAs[Long]("n_dropped_windows"),
+        Dedup.ngramJaccardPairs(c, $"text", $"doc_id", n = 3,
+          minJaccard = 0.12, maxDf = 5).count())
+      c.unpersist()
+      (out, nTwins.toLong)
+    }
+    val (c1, t1) = measure(3000)
+    val (c2, t2) = measure(12000)
+    // each path reports exactly the genuine population (flood → zero
+    // pairs) and the profile prices exactly the 41 boilerplate window
+    // fingerprints × floodN dropped rows
+    assert(c1 == Counts(t1, t1, 41L * 3000, t1), s"3k: $c1 (twins $t1)")
+    assert(c2 == Counts(t2, t2, 41L * 12000, t2), s"12k: $c2 (twins $t2)")
+    // 4× corpus → 4× outputs; a quadratic leak would read 16×
+    assert(t2 == 4 * t1)
+  }
+
   test("capped ngram Jaccard (q102 config): flood proposes nothing, genuine similarity exact") {
     val pairs = Dedup.ngramJaccardPairs(corpus, $"text", $"doc_id",
         n = 3, minJaccard = 0.12, maxDf = 5)
