@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+
+/** Round-8 batch 1: snapshot retention / VACUUM — the expiry half of
+  * the lakehouse time-travel contract (q204 proved old versions stay
+  * readable; q215 proves expiring them is surgical).
+  */
+object Queries37 {
+  import Tables._
+
+  // per-invocation scratch isolation, same reasoning as q204
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q215 — SNAPSHOT RETENTION / VACUUM AUDIT (X125). Four snapshot
+    * versions land with commit days 1..4 (each a deterministic
+    * filter+revision of the base corpus — Snapshots.versionDf, so the
+    * oracle rebuilds every version from the raw table); retention
+    * keeps commit days inside a 2-day horizon of the newest commit
+    * (plus the latest unconditionally) → v3/v4 kept, v1/v2 expired.
+    * VACUUM physically deletes the expired directories; the audit
+    * then (a) REQUIRES the expired dirs to be gone, (b) re-reads the
+    * kept versions from disk and checksums them — hash parity with
+    * the oracle's derivation-rule rebuild proves VACUUM deleted
+    * exactly the expired snapshots and corrupted nothing, while the
+    * manifest's commit-time stats survive for the expired ones
+    * (metadata outlives data).
+    *
+    * Scale: VACUUM is a |versions|-row metadata decision + bulk
+    * deletes (no data read); the audit reads only surviving versions,
+    * one narrow aggregate each — see Snapshots.scala.
+    */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    val dir = Tables.scratchDir("vacuum", d) +
+      "_i" + invocation.incrementAndGet()
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val manifests = (1 to 4).map(k => Snapshots.writeVersion(base, dir, k))
+    val (kept, expired) = Snapshots.vacuum(dir, manifests, keepDays = 2)
+    require(kept == Set(3, 4) && expired == Set(1, 2),
+      s"retention rule drifted: kept=$kept expired=$expired")
+    Snapshots.audit(s, dir, manifests, kept)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_vacuum_audit" -> (q215 _))
+}
+
+/** DuckDB mirror of Queries37 — every version is rebuilt from the
+  * derivation rules over the raw table (drop %(13+k), revise %7==k),
+  * never from the snapshot files; the retention rule (commit day >
+  * max−2, latest always) reduces to version > 2 for commit days 1..4.
+  */
+object Oracle37 {
+
+  private def md5l(e: String): String =
+    s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    "q215_vacuum_audit" -> {
+      val fp = "CASE WHEN doc_id % 7 = v.version THEN md5('v' || v.version || ' ' || text) ELSE md5(text) END"
+      s"""WITH v AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS version),
+         |per AS (
+         |  SELECT v.version, count(*) AS n_docs,
+         |    CAST(sum(n_chars + CASE WHEN doc_id % 7 = v.version
+         |      THEN v.version ELSE 0 END) AS BIGINT) AS n_chars,
+         |    CAST(sum(CAST(${md5l(s"doc_id || '|' || $fp")}
+         |      AS DECIMAL(38,0))) AS VARCHAR) AS content_sum
+         |  FROM v JOIN documents ON doc_id % (13 + v.version) <> 0
+         |  GROUP BY v.version)
+         |SELECT version,
+         |  CASE WHEN version > 2 THEN 'kept' ELSE 'expired' END AS status,
+         |  n_docs, n_chars,
+         |  CASE WHEN version > 2 THEN content_sum ELSE NULL END AS content_sum
+         |FROM per ORDER BY version""".stripMargin
+    })
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot retention / VACUUM (X125) — the other half of the q204
+  * time-travel story: versioned snapshots accumulate forever unless
+  * something expires them, and the expiry must (a) never touch a
+  * snapshot inside the retention horizon, (b) NEVER delete the latest
+  * snapshot no matter how old, and (c) leave every surviving snapshot
+  * bit-identical (proved by q215's content checksums).
+  *
+  * The manifest is the commit log in portable form: one row per
+  * version with its commit day and the logical stats recorded at
+  * commit time. After VACUUM those manifest stats are all that
+  * remains of an expired snapshot — exactly the Iceberg/Delta
+  * metadata-outlives-data contract.
+  *
+  * Scale: VACUUM is a metadata decision (|versions| rows) plus bulk
+  * file deletes — no data is read; the audit reads only SURVIVING
+  * versions, one narrow aggregate each. At 100 TB the deletes go to
+  * the object-store batch-delete API; the manifest logic is
+  * unchanged.
+  */
+object Snapshots {
+
+  /** Commit-log row recorded when a version lands. */
+  case class Manifest(version: Int, commitDay: Int, nDocs: Long, nChars: Long)
+
+  /** Derivation rule for version k over the base corpus — filter +
+    * per-version revision, deterministic so the DuckDB oracle can
+    * rebuild every version from the raw table: drop doc_id %
+    * (13+k) == 0; docs with doc_id % 7 == k are revised (fp over
+    * "v<k> "-prefixed text, n_chars+k).
+    */
+  def versionDf(base: DataFrame, k: Int): DataFrame =
+    base.filter(col("doc_id") % (13 + k) =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === k,
+          md5(concat(lit(s"v$k "), col("text"))))
+          .otherwise(md5(col("text"))).as("fp"),
+        (col("n_chars") + when(col("doc_id") % 7 === k, lit(k.toLong))
+          .otherwise(lit(0L))).as("n_chars"))
+
+  /** Write version k under `dir/v=k` and record its manifest row
+    * (stats from one 1-row aggregate — the commit-time accounting a
+    * real table format keeps in metadata).
+    */
+  def writeVersion(base: DataFrame, dir: String, k: Int): Manifest = {
+    val v = versionDf(base, k)
+    v.write.mode("overwrite").parquet(s"$dir/v=$k")
+    val r = v.agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    Manifest(k, commitDay = k, r.getLong(0), r.getLong(1))
+  }
+
+  /** Which versions does the retention policy keep? Commit day
+    * strictly inside the horizon (day > latest − keepDays), and the
+    * latest version unconditionally.
+    */
+  def retained(manifests: Seq[Manifest], keepDays: Int): Set[Int] = {
+    require(manifests.nonEmpty, "empty manifest log")
+    val latest = manifests.maxBy(m => (m.commitDay, m.version))
+    val cutoff = manifests.map(_.commitDay).max - keepDays
+    manifests.filter(m => m.commitDay > cutoff || m.version == latest.version)
+      .map(_.version).toSet
+  }
+
+  /** VACUUM: physically delete every expired version directory.
+    * Returns (kept, expired) version sets; idempotent — re-running
+    * deletes nothing new. Deletion is real (recursive rm of the
+    * snapshot dir), which is what q215 then audits.
+    */
+  def vacuum(dir: String, manifests: Seq[Manifest], keepDays: Int): (Set[Int], Set[Int]) = {
+    val keep = retained(manifests, keepDays)
+    val expired = manifests.map(_.version).filterNot(keep).toSet
+    expired.foreach { v => deleteRecursive(Paths.get(s"$dir/v=$v")) }
+    (keep, expired)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  /** Post-VACUUM audit rows: surviving versions are READ BACK from
+    * disk (n_docs / n_chars / order-invariant content checksum —
+    * proving the files survived intact); expired versions surface
+    * only their manifest stats with a NULL checksum (the files are
+    * gone, and q215 asserts they are).
+    */
+  def audit(spark: SparkSession, dir: String, manifests: Seq[Manifest],
+      kept: Set[Int]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val keptAudits = manifests.filter(m => kept(m.version)).sortBy(_.version)
+      .map { m =>
+        spark.read.parquet(s"$dir/v=${m.version}")
+          .agg(lit(m.version).as("version"), lit("kept").as("status"),
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+            sum(graft.functions.Text.md5Long(concat_ws("|",
+              col("doc_id"), col("fp"))).cast(DecimalType(38, 0)))
+              .cast("string").as("content_sum"))
+      }
+    val expiredRows = manifests.filterNot(m => kept(m.version)).sortBy(_.version)
+      .map { m =>
+        require(!Files.exists(Paths.get(s"$dir/v=${m.version}")),
+          s"VACUUM left expired snapshot v=${m.version} on disk")
+        spark.range(1).select(lit(m.version).as("version"),
+          lit("expired").as("status"), lit(m.nDocs).as("n_docs"),
+          lit(m.nChars).as("n_chars"),
+          lit(null).cast("string").as("content_sum"))
+      }
+    (keptAudits ++ expiredRows).reduce(_ unionByName _)
+      .orderBy(col("version"))
+  }
+}
