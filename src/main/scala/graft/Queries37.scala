@@ -45,8 +45,30 @@ object Queries37 {
     Snapshots.audit(s, dir, manifests, kept)
   }
 
+  /** q216 — PRODUCT-QUANTIZATION ANN (X126; Ann.pqTopK). The declared
+    * configuration reranks a shortlist covering the WHOLE corpus
+    * (shortlist=100000 ≥ any sf here), which makes the result
+    * PROVABLY equal to brute-force cosine top-k — the exact rerank
+    * sees every vector no matter what the per-subspace KMeans
+    * codebooks learned — so the brute-force SQL is a sound oracle
+    * even though the PQ training isn't SQL-expressible. The at-scale
+    * mode (shortlist ≪ corpus: scan m one-byte codes via the ADC
+    * table, fetch originals only for the shortlist) is the SAME code
+    * path; its recall-vs-shortlist ladder is measured in
+    * AnnRecallSpec.
+    */
+  def q216(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 11)
+      .select(col("embedding").as("probe_emb"))
+    graft.operators.Ann.pqTopK(e.filter(col("vec_id") =!= 11),
+      "vec_id", "embedding", probe, k = 10, m = 4, ksub = 16,
+      shortlist = 100000)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q215_vacuum_audit" -> (q215 _))
+    "q215_vacuum_audit" -> (q215 _),
+    "q216_pq_ann" -> (q216 _))
 }
 
 /** DuckDB mirror of Queries37 — every version is rebuilt from the
@@ -76,5 +98,19 @@ object Oracle37 {
          |  n_docs, n_chars,
          |  CASE WHEN version > 2 THEN content_sum ELSE NULL END AS content_sum
          |FROM per ORDER BY version""".stripMargin
-    })
+    },
+
+    // brute force IS the oracle: the full-corpus shortlist makes the
+    // exact rerank scan every vector, so the PQ codebooks are
+    // answer-invisible (same soundness argument as q146's full probe)
+    "q216_pq_ann" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 11)
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS cosine
+        |FROM embeddings e, p WHERE e.vec_id <> 11
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
 }

@@ -111,6 +111,81 @@ object Ann {
       .crossJoin(broadcast(probe)), idCol, vecCol, k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): split the d-dim
+    * vector into `m` subvectors, learn a `ksub`-centroid codebook per
+    * subspace (seeded KMeans — the PQ "training"), encode every
+    * vector as m small codes, then answer a query by ADC (asymmetric
+    * distance computation): the probe's distance to each centroid of
+    * each subspace is a tiny m×ksub table, and a vector's
+    * approximate distance is m table lookups — no float math against
+    * the original vectors at scan time. The top-`shortlist` by ADC
+    * are then reranked EXACTLY on the original vectors.
+    *
+    * Correctness anchor (the q146 trick): with shortlist ≥ corpus
+    * size the rerank sees every vector, so the result PROVABLY equals
+    * bruteForceTopK whatever the codebooks learned — a brute-force
+    * SQL oracle is sound. The at-scale mode (shortlist ≪ corpus) is
+    * the same code path; its recall-vs-shortlist curve is measured in
+    * AnnRecallSpec and is structurally monotone (a larger shortlist
+    * is a superset).
+    *
+    * Scale: codes are m bytes instead of d floats (16× compression at
+    * m=4, d=64, float32) — the scan reads the code column only; the
+    * ADC table rides the broadcast probe; rerank touches `shortlist`
+    * rows. Storage-bound corpora scan 16× less; the original vectors
+    * are fetched only for the shortlist (FAISS IVFADC's layout).
+    *
+    * Contract: `probe` must hold exactly ONE row with `probe_emb`.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, k: Int, m: Int, ksub: Int, shortlist: Int,
+      seed: Long = 42L, maxIter: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val probeRows = probe.limit(2).collect()
+    require(probeRows.length == 1,
+      s"pqTopK expects exactly one probe row, got ${if (probeRows.isEmpty) 0 else "2+"}")
+    val dim = probeRows(0).getSeq[Float](
+      probeRows(0).fieldIndex("probe_emb")).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // one seeded KMeans per subspace over the slice; each encode pass
+    // is a narrow transform (no shuffle)
+    val subCols = (0 until m).map(i => s"__sub$i")
+    val withSubs = subCols.zipWithIndex.foldLeft(emb) { case (df, (c, i)) =>
+      df.withColumn(c,
+        array_to_vector(slice(col(vecCol), i * dsub + 1, dsub).cast("array<double>")))
+    }
+    val models = (0 until m).map { i =>
+      new KMeans().setK(ksub).setSeed(seed + i).setMaxIter(maxIter)
+        .setFeaturesCol(subCols(i)).setPredictionCol(s"__code$i")
+        .fit(withSubs.select(subCols(i)))
+    }
+    val encoded = models.zipWithIndex.foldLeft(withSubs) {
+      case (df, (mod, i)) => mod.transform(df)
+    }.drop(subCols: _*)
+    // ADC table: probe subvector → squared L2 to each centroid of each
+    // subspace (m×ksub doubles, literal → broadcast in plan)
+    val pv = probeRows(0).getSeq[Float](probeRows(0).fieldIndex("probe_emb"))
+      .map(_.toDouble)
+    val table: Seq[Seq[Double]] = (0 until m).map { i =>
+      val sub = org.apache.spark.ml.linalg.Vectors.dense(
+        pv.slice(i * dsub, (i + 1) * dsub).toArray)
+      models(i).clusterCenters.map(c =>
+        org.apache.spark.ml.linalg.Vectors.sqdist(c, sub)).toSeq
+    }
+    val adc = (0 until m).map(i =>
+      element_at(element_at(typedLit(table), i + 1),
+        col(s"__code$i") + 1)).reduce(_ + _)
+    val short = encoded.withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col(idCol))
+      .limit(shortlist)
+      .drop("__adc").drop((0 until m).map(i => s"__code$i"): _*)
+    // exact rerank on the original vectors — the approximation only
+    // ever selects CANDIDATES, never scores the answer
+    cosineTopK(short.crossJoin(broadcast(probe)), idCol, vecCol, k)
+  }
+
   /** All bucket ids within Hamming distance ≤ `depth` of `bucket`
     * (the identity variant included), as an array column — the
     * pair-join form of lshTopK's bit-flip multi-probe. The variants

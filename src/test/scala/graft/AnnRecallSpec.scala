@@ -90,6 +90,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"int8 quantization recall@10 $mean < 0.9: $recalls")
   }
 
+  test("PQ-ADC: recall@10 is monotone in shortlist size; full shortlist is exact") {
+    // recall here is STRUCTURALLY monotone (a larger shortlist is a
+    // superset of a smaller one under the same ADC order), so the
+    // ladder also cross-checks the implementation: non-monotonicity
+    // would mean the shortlist ordering is unstable
+    val emb = Tables.embeddings(spark, sf001)
+    val ladder = Seq(20, 100, 499)
+    val pqProbes = Seq(0L, 100L, 250L)
+    val recalls = ladder.map { l =>
+      val rs = pqProbes.map { pid =>
+        val probe = emb.filter($"vec_id" === pid).select($"embedding".as("probe_emb"))
+        val scan = emb.filter($"vec_id" =!= pid)
+        val exact = topIds(Ann.bruteForceTopK(scan, "vec_id", "embedding", probe, k))
+        val approx = topIds(Ann.pqTopK(scan, "vec_id", "embedding", probe,
+          k = k, m = 4, ksub = 16, shortlist = l))
+        if (l >= 499) // shortlist covers the corpus → exact by construction
+          assert(approx == exact, s"probe $pid: full-shortlist PQ != brute force")
+        (approx & exact).size.toDouble / k
+      }
+      rs.sum / rs.size
+    }
+    info(s"PQ mean recall@10 by shortlist (m=4, ksub=16): " +
+      ladder.zip(recalls).map { case (l, r) => f"L$l=$r%.2f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"PQ recall not monotone in shortlist: $recalls")
+    }
+    assert(recalls.head > 0.0, "ADC shortlist at L=20 found nothing — vacuous ladder")
+  }
+
   test("IVF: recall@10 grows with nProbe; full probing is exact") {
     val emb = Tables.embeddings(spark, sf001)
     val probe = emb.filter($"vec_id" === 0).select($"embedding".as("probe_emb"))
