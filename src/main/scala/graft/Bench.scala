@@ -55,7 +55,44 @@ object Bench {
     val passTotals = passes
       .map(p => if (p.values.exists(_ < 0)) -1.0 else p.values.sum)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    val n = names.size
+    val secPerQuery = if (n > 0 && total >= 0) total / n else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"n_queries":$n,"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
+    // Persist the complete per-query record to the repo so the
+    // driver's truncated stdout tail can never lose the evidence:
+    // per-query min AND all three raw pass times, plus the 2x-gate
+    // arithmetic against the recorded 47-query/54.5s baseline.
+    try {
+      val perQuery = names.map { nm =>
+        val raw = passes.map(_(nm)).mkString("[", ",", "]")
+        s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "passes": $raw}"""
+      }.mkString("{\n", ",\n", "\n  }")
+      val gate =
+        s"""{"baseline_total_s": 54.5, "baseline_n_queries": 47, "baseline_sec_per_query": 1.16,
+    "this_total_s": $total, "this_n_queries": $n, "this_sec_per_query": $secPerQuery,
+    "total_ratio_vs_baseline": ${if (total >= 0) total / 54.5 else -1.0},
+    "per_query_ratio_vs_baseline": ${if (secPerQuery >= 0) secPerQuery / 1.16 else -1.0}}"""
+      val spread = {
+        val ts = passes.map(p => p.values.sum).filter(_ >= 0)
+        if (ts.nonEmpty && ts.min > 0) ts.max / ts.min else -1.0
+      }
+      val doc =
+        s"""{
+  "sf": "$sfDir",
+  "cpus": $cpus,
+  "pass_totals": $passTotals,
+  "pass_spread": $spread,
+  "total_min_per_query_s": $total,
+  "failed": $failedJson,
+  "gate": $gate,
+  "per_query": $perQuery
+}
+"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("PERF_QUERIES.json"),
+        doc.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] PERF_QUERIES.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

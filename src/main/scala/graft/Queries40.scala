@@ -1,0 +1,180 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-8 batch 4: community detection on the co-order graph and
+  * per-user interval coverage (SURVEY §2.8 X132-X133).
+  */
+object Queries40 {
+  import Tables._
+
+  /** Co-order edge list (both directions), persisted once per
+    * (session, sf dir) — the LPA loop below scans it 4×, and
+    * recomputing the lineitem self-join per iteration would multiply
+    * the dominant cost (the LshStages rationale).
+    */
+  private val edgeCache = TrieMap.empty[String, DataFrame]
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    edgeCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
+      edgeCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+    edgeCache.getOrElseUpdate(appId + "|" + d, {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.withColumnRenamed("l_partkey", "u")
+      val b = li.withColumnRenamed("l_partkey", "v")
+      val pairs = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** q222 — LABEL-PROPAGATION COMMUNITIES (X132, 4 synchronous
+    * iterations). Nodes are parts; edges connect parts appearing in
+    * the same order (the co-purchase graph). Each iteration every
+    * node adopts the most frequent label among its neighbors (ties →
+    * smallest label; isolated nodes keep their own). Four fixed
+    * iterations keep the plan static and the oracle unrollable — the
+    * same reasoning as q130 PageRank's fixed power iterations. LPA
+    * complements the dedup family's connected components (q62): CC
+    * merges anything touching, LPA splits dense-vs-sparse regions by
+    * neighbourhood majority.
+    *
+    * Scale: per iteration one equi-join of the persisted edge list
+    * against the |nodes|-row label table (broadcast — labels are ids,
+    * not data) + one (node,label) aggregate + a per-node top-1
+    * window. Edges shuffle once into the persisted layout; iterations
+    * reuse it.
+    */
+  def q222(s: SparkSession, d: String): DataFrame = {
+    val edges = coOrderEdges(s, d)
+    var labels = part(s, d)
+      .select(col("p_partkey").as("node"), col("p_partkey").as("lbl"))
+    for (_ <- 1 to 4) {
+      val counts = edges
+        .join(broadcast(labels.select(col("node").as("u"),
+          col("lbl").as("ulbl"))), Seq("u"))
+        .groupBy(col("v"), col("ulbl")).agg(count(lit(1)).as("c"))
+      val top = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("c").desc, col("ulbl"))))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("ulbl").as("newlbl"))
+      labels = labels.join(top, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("newlbl"), col("lbl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  /** q223 — INTERVAL UNION / COVERAGE (X133). Each event opens a
+    * 5-minute activity interval [t, t+300 s); per user, overlapping
+    * or touching intervals merge (gaps-and-islands: a row starts a
+    * new island iff its start exceeds the running max of all previous
+    * ends), then per-user totals: merged-interval count, covered
+    * time, longest merged span. The utilization/SLA primitive — union
+    * of time ranges without a range self-join.
+    *
+    * Scale: one hash shuffle on user_id, each partition scanned once
+    * by two frame-bounded windows; state per row is one long. The
+    * quadratic interval-overlap join never materializes.
+    */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    val ivUs = 300L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t0"), col("event_id"))
+    val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + lit(ivUs))
+      .withColumn("run_end", max(col("t1")).over(prev))
+      .withColumn("new_island",
+        when(col("run_end").isNull || col("t0") > col("run_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("t0")).as("start"), max(col("t1")).as("end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("end") - col("start")).as("covered_us"),
+        max(col("end") - col("start")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_label_prop" -> (q222 _),
+    "q223_interval_union" -> (q223 _))
+}
+
+/** DuckDB mirrors of Queries40. The LPA oracle unrolls the 4
+  * synchronous iterations as generated CTE pairs (m_k = per-node
+  * neighbor-majority labels, l_k = apply-with-fallback) — built by a
+  * Scala loop so iteration k is textually identical to k−1, which is
+  * exactly the synchronous-update semantics the Spark loop executes.
+  */
+object Oracle40 {
+
+  private def lpaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT node, lbl FROM (
+         |    SELECT ed.v AS node, l.lbl, count(*) AS c
+         |    FROM ed JOIN l${k - 1} l ON ed.u = l.node
+         |    GROUP BY ed.v, l.lbl) t
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY node ORDER BY c DESC, lbl) = 1),
+         |l$k AS (SELECT n.node, coalesce(m.lbl, n.lbl) AS lbl
+         |  FROM l${k - 1} n LEFT JOIN m$k m ON n.node = m.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT p_partkey AS node, p_partkey AS lbl FROM part),
+       |$steps
+       |SELECT lbl AS community, count(*) AS n_members,
+       |  min(node) AS min_member
+       |FROM l$iters GROUP BY lbl HAVING count(*) >= 2
+       |ORDER BY n_members DESC, community""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q222_label_prop" -> lpaSql(4),
+
+    "q223_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS t0,
+        |    epoch_ns(ts) // 1000 + 300000000 AS t1
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (SELECT *,
+        |    max(t1) OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM e),
+        |isl AS (SELECT *,
+        |    sum(CASE WHEN run_end IS NULL OR t0 > run_end
+        |      THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY t0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w),
+        |m AS (SELECT user_id, island, min(t0) AS s, max(t1) AS e
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+        |  CAST(max(e - s) AS BIGINT) AS longest_us
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
