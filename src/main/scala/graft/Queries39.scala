@@ -34,43 +34,53 @@ object Queries39 {
     * makes greedy SQL-expressible without recursion.
     */
   def q220(s: SparkSession, d: String): DataFrame = {
-    // cover units are word BIGRAMS (Text.shingles n=2): the corpus'
-    // word vocabulary is ~31 tokens and a single doc can cover it
-    // all, which would make greedy degenerate after one step; the
-    // bigram space is combinatorial, so coverage keeps growing
+    // cover units are word BIGRAMS (one-pass ShingleStrings, n=2):
+    // the corpus' word vocabulary is ~31 tokens and a single doc can
+    // cover it all, which would make greedy degenerate after one
+    // step; the bigram space is combinatorial, so coverage keeps
+    // growing. The token table is built ONCE and persisted for the
+    // loop's 3 scans (each step reads it twice: covered set + gains)
+    // — re-shingling the corpus per step would multiply the dominant
+    // cost by 2k.
     val toks = documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(
-          graft.functions.Text.shingles(col("text"), 2))).as("tok"))
-    var selected = List.empty[Long]
-    var picks = List.empty[(Int, Long, Long, Long)]
-    var step = 1
-    while (step <= 3) {
-      // step 1 has an empty selected set: no covered tokens, no
-      // excluded docs (isin() over an empty list is not a no-op filter)
-      val remaining =
-        if (selected.isEmpty) toks
-        else toks.filter(!col("doc_id").isin(selected: _*))
-      val uncovered =
-        if (selected.isEmpty) remaining
-        else remaining.join(
-          broadcast(toks.filter(col("doc_id").isin(selected: _*))
-            .select(col("tok")).distinct()),
-          Seq("tok"), "left_anti")
-      val pick = uncovered
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id"))
-        .limit(1).collect() // exactly one winner row per step — bounded by k
-      val (id, gain) = (pick(0).getLong(0), pick(0).getLong(1))
-      selected = selected :+ id
-      val total = toks.filter(col("doc_id").isin(selected: _*))
-        .select(col("tok")).distinct().count()
-      picks = picks :+ ((step, id, gain, total))
-      step += 1
-    }
-    import s.implicits._
-    picks.toDF("step", "doc_id", "gain", "covered_total")
-      .orderBy(col("step"))
+          graft.functions.TextExpressions.shingle_strings(
+            col("text"), 2))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var selected = List.empty[Long]
+      var picks = List.empty[(Int, Long, Long, Long)]
+      var total = 0L
+      var step = 1
+      while (step <= 3) {
+        // step 1 has an empty selected set: no covered tokens, no
+        // excluded docs (isin() over an empty list is not a no-op filter)
+        val remaining =
+          if (selected.isEmpty) toks
+          else toks.filter(!col("doc_id").isin(selected: _*))
+        val uncovered =
+          if (selected.isEmpty) remaining
+          else remaining.join(
+            broadcast(toks.filter(col("doc_id").isin(selected: _*))
+              .select(col("tok")).distinct()),
+            Seq("tok"), "left_anti")
+        val pick = uncovered
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect() // exactly one winner row per step — bounded by k
+        val (id, gain) = (pick(0).getLong(0), pick(0).getLong(1))
+        selected = selected :+ id
+        // each gain counts exactly the NEW units, so the covered total
+        // is the running sum — no extra distinct-count job per step
+        total += gain
+        picks = picks :+ ((step, id, gain, total))
+        step += 1
+      }
+      import s.implicits._
+      picks.toDF("step", "doc_id", "gain", "covered_total")
+        .orderBy(col("step"))
+    } finally toks.unpersist(blocking = false)
   }
 
   /** q221 — MMR DIVERSE TOP-K (X131, k=3, λ=0.7). Maximal Marginal

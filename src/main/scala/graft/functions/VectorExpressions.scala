@@ -134,4 +134,55 @@ object VectorExpressions {
 
   def sumsq(a: Column): Column =
     ExpressionUtils.column(SumSq(ExpressionUtils.expression(a)))
+
+  /** Product-quantization encoder: per subspace i (of `m`, each
+    * `dsub = dim/m` wide), the index of the nearest codebook centroid
+    * (squared L2) — the m-byte PQ code of a vector, produced in ONE
+    * narrow pass with the codebooks inlined into the expression
+    * (driver-trained, tiny: m×ksub×dsub doubles). Codebooks are
+    * `IndexedSeq`s, not arrays, so expression equality/canonicalization
+    * stays structural. CodegenFallback: per-call work is m·ksub·dsub
+    * flops (~4k at m=4,ksub=16,d=64), dwarfing boxed-call overhead.
+    */
+  case class PqCodes(child: Expression,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val et = elemType(child.dataType)
+      val m = codebooks.length
+      val dsub = if (m == 0) 0 else codebooks(0)(0).length
+      val codes = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val cb = codebooks(i)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var dist = 0.0; var j = 0
+          while (j < dsub) {
+            val dd = toDouble(et, arr, i * dsub + j) - cent(j)
+            dist += dd * dd; j += 1
+          }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        codes(i) = best; i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def pq_codes(vec: Column,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), codebooks))
 }

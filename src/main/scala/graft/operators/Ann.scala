@@ -139,9 +139,7 @@ object Ann {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, k: Int, m: Int, ksub: Int, shortlist: Int,
-      seed: Long = 42L, maxIter: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L, trainN: Int = 512, trainIters: Int = 10): DataFrame = {
     val probeRows = probe.limit(2).collect()
     require(probeRows.length == 1,
       s"pqTopK expects exactly one probe row, got ${if (probeRows.isEmpty) 0 else "2+"}")
@@ -149,41 +147,94 @@ object Ann {
       probeRows(0).fieldIndex("probe_emb")).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    // one seeded KMeans per subspace over the slice; each encode pass
-    // is a narrow transform (no shuffle)
-    val subCols = (0 until m).map(i => s"__sub$i")
-    val withSubs = subCols.zipWithIndex.foldLeft(emb) { case (df, (c, i)) =>
-      df.withColumn(c,
-        array_to_vector(slice(col(vecCol), i * dsub + 1, dsub).cast("array<double>")))
-    }
-    val models = (0 until m).map { i =>
-      new KMeans().setK(ksub).setSeed(seed + i).setMaxIter(maxIter)
-        .setFeaturesCol(subCols(i)).setPredictionCol(s"__code$i")
-        .fit(withSubs.select(subCols(i)))
-    }
-    val encoded = models.zipWithIndex.foldLeft(withSubs) {
-      case (df, (mod, i)) => mod.transform(df)
-    }.drop(subCols: _*)
+    // Codebook training is SAMPLE-BASED and driver-side (FAISS trains
+    // PQ codebooks on a bounded sample for exactly this reason): a
+    // deterministic hash-ordered TakeOrdered fetches ≤ trainN vectors
+    // (trainN·dim doubles — KBs), then seeded Lloyd iterations per
+    // subspace cost m·trainN·ksub·dsub flops on the driver. This
+    // replaces m distributed KMeans jobs whose result quality is
+    // answer-INVISIBLE for the rerank anyway (the shortlist only
+    // selects candidates; rerank is exact) — training cost must not
+    // scale with the corpus, and now it cannot.
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainN)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTopK: empty training sample")
+    val codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      (0 until m).map { i =>
+        lloyd(sample.map(v => v.slice(i * dsub, (i + 1) * dsub)),
+          ksub, seed + i, trainIters)
+      }
+    // one narrow pass: m argmins inlined into a single expression
+    val encoded = emb.withColumn("__codes",
+      graft.functions.VectorExpressions.pq_codes(col(vecCol), codebooks))
     // ADC table: probe subvector → squared L2 to each centroid of each
     // subspace (m×ksub doubles, literal → broadcast in plan)
     val pv = probeRows(0).getSeq[Float](probeRows(0).fieldIndex("probe_emb"))
       .map(_.toDouble)
     val table: Seq[Seq[Double]] = (0 until m).map { i =>
-      val sub = org.apache.spark.ml.linalg.Vectors.dense(
-        pv.slice(i * dsub, (i + 1) * dsub).toArray)
-      models(i).clusterCenters.map(c =>
-        org.apache.spark.ml.linalg.Vectors.sqdist(c, sub)).toSeq
+      codebooks(i).map { c =>
+        var s = 0.0; var j = 0
+        while (j < dsub) {
+          val d = c(j) - pv(i * dsub + j); s += d * d; j += 1
+        }
+        s
+      }.toSeq
     }
     val adc = (0 until m).map(i =>
       element_at(element_at(typedLit(table), i + 1),
-        col(s"__code$i") + 1)).reduce(_ + _)
+        element_at(col("__codes"), i + 1) + 1)).reduce(_ + _)
     val short = encoded.withColumn("__adc", adc)
       .orderBy(col("__adc").asc, col(idCol))
       .limit(shortlist)
-      .drop("__adc").drop((0 until m).map(i => s"__code$i"): _*)
+      .drop("__adc", "__codes")
     // exact rerank on the original vectors — the approximation only
     // ever selects CANDIDATES, never scores the answer
     cosineTopK(short.crossJoin(broadcast(probe)), idCol, vecCol, k)
+  }
+
+  /** Seeded Lloyd's k-means on a driver-resident sample: shuffled
+    * distinct init (k ≤ n points), `iters` assign/update rounds,
+    * empty clusters keep their previous center. Deterministic for a
+    * fixed (points, k, seed, iters).
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    val centers: Array[Array[Double]] =
+      rnd.shuffle(points.indices.toList).take(kk)
+        .map(points(_).clone).toArray
+    val d = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val dd = p(j) - centers(c)(j); dist += dd * dd; j += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < d) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** All bucket ids within Hamming distance ≤ `depth` of `bucket`
