@@ -24,6 +24,15 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // one untimed pass at the TARGET sf: faults the target parquet
+    // into the page cache and materializes the shared stages
+    // (LshStages, co-order edges) so all three timed passes measure
+    // steady-state execution — without this, pass 1 alone carried the
+    // one-time costs and the pass spread read as host contention
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     // three timed passes, min per query: steady-state time, robust to
     // one-off GC/compilation pauses AND to a whole pass landing on a
     // loaded-host window (BENCH_r04 recorded 1.7× on bit-identical

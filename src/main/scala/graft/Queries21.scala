@@ -120,10 +120,7 @@ object Queries21 {
   def q171(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer").select(col("c_custkey"), col("c_name"))
     val variants = c.select(col("c_custkey"), col("c_name"),
-        posexplode(expr(
-          "transform(sequence(0, length(c_name) - 1), " +
-            "i -> concat(substring(c_name, 1, i), '·', " +
-            "substring(c_name, i + 2, length(c_name))))")))
+        posexplode(graft.functions.Linkage.deletion_variants(col("c_name"))))
       .toDF("c_custkey", "c_name", "pos", "variant")
     val a = variants.toDF("a_id", "a_name", "pos", "variant")
     val b = variants.toDF("b_id", "b_name", "pos", "variant")

@@ -226,12 +226,15 @@ object Queries7 {
   def q110(s: SparkSession, d: String): DataFrame = {
     val mBits = 1L << 14
     val probes = 3
+    // within-doc dedup happens IN-ROW (array_distinct before the
+    // explode): doc_id is part of the key, so this is exactly the
+    // global DISTINCT (doc_id, b, h) — without shuffling the exploded
+    // 7-gram table, twice, to discover it
     val h = documents(s, d)
       .select(col("doc_id"),
         pmod(Text.md5Long(col("text")), lit(100L)).as("b"),
-        explode(graft.functions.TextExpressions
-          .md5_shingle_hashes(col("text"), 7)).as("h"))
-      .distinct()
+        explode(array_distinct(graft.functions.TextExpressions
+          .md5_shingle_hashes(col("text"), 7))).as("h"))
     val bench = h.filter(col("b") >= 90).select(col("h").as("bh")).distinct()
     def probeBit(c: org.apache.spark.sql.Column, j: Int) =
       pmod(xxhash64(c, lit(j)), lit(mBits))

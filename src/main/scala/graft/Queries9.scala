@@ -80,8 +80,11 @@ object Queries9 {
         explode(array_distinct(
           graft.functions.TextExpressions.shingle_strings(col("text"), 3)))
           .as("tok"))
-    val withDf = post.join(
-      post.groupBy(col("tok")).agg(count(lit(1)).as("df")), Seq("tok"))
+    // df via a window over the SAME tok shuffle the join keys need —
+    // the aggregate+self-join alternative shuffles the token table a
+    // second time and re-runs the shingle pass to build it
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("tok"))
     val sized = withDf

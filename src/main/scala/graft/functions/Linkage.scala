@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,9 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - Winkler boost only when jaro > 0.7: jw = j + p·0.1·(1−j),
   *     common prefix p capped at 4
   * Operates on UTF-16 chars — identical to codepoint semantics on the
-  * ASCII part/customer names it is used on. CodegenFallback is fine
-  * here (TextExpressions rationale): per-call work is O(len²-ish),
-  * dwarfing the boxed-call overhead, unlike per-element lambdas.
+  * ASCII part/customer names it is used on. Generates a static call
+  * (doGenCode below) so the surrounding join stage keeps whole-stage
+  * codegen.
   */
 object Linkage {
 
@@ -74,13 +73,27 @@ object Linkage {
     } else jaro
   }
 
+  /** UTF8String entry point for generated code. */
+  def jaroWinklerUtf8(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+
   case class JaroWinkler(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any =
       jaroWinkler(l.asInstanceOf[UTF8String].toString,
         r.asInstanceOf[UTF8String].toString)
+    // a real doGenCode (static call) rather than CodegenFallback: the
+    // comparator sits inside the block join's filter+project stage,
+    // and a fallback expression would break whole-stage codegen for
+    // that entire stage, not just this scalar
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Linkage.jaroWinklerUtf8($a, $b)")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -89,4 +102,41 @@ object Linkage {
   def jaro_winkler(a: Column, b: Column): Column =
     GraftShim.column(JaroWinkler(GraftShim.expression(a),
       GraftShim.expression(b)))
+
+  /** One-pass deletion neighborhood: variant i replaces char i with
+    * the '·' marker (q171's Hamming-1 blocking key — two names are
+    * Hamming-1 iff they share a variant at the same position).
+    * Value-identical to the composable
+    * `transform(sequence(0, len-1), i -> concat(substr(1,i),'·',substr(i+2)))`
+    * but built in one pass instead of len interpreted lambda calls
+    * with 2·len substring allocations.
+    */
+  case class DeletionVariants(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val n = s.length
+      val out = new Array[Any](n)
+      val chars = s.toCharArray
+      var i = 0
+      while (i < n) {
+        val c = chars(i)
+        chars(i) = '·'
+        out(i) = UTF8String.fromString(new String(chars))
+        chars(i) = c
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def deletion_variants(name: Column): Column =
+    GraftShim.column(DeletionVariants(GraftShim.expression(name)))
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 5 invariants: the Holt fold against an independent
+  * Scala recomputation, Benford bookkeeping, and RRF structure.
+  */
+class TrendSpec extends SparkSpec {
+
+  test("q224 Holt state matches an independent Scala fold of the daily series") {
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(round(sum(col("value").cast("decimal(38,10)")), 4)
+        .cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val nl = 0.25 * x + 0.75 * (l + b)
+        b = 0.125 * (nl - l) + 0.875 * b
+        l = nl
+      }
+      tpe -> ((xs.length, math.rint(l * 1e4) / 1e4, math.rint(b * 1e4) / 1e4))
+    }
+    val got = Queries41.q224(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (tpe, (n, l, b)) =>
+      val (gn, gl, gb) = got(tpe)
+      assert(gn == n, s"$tpe n_days")
+      // rint is half-even vs round's half-up; allow the grid step
+      assert(math.abs(gl - l) <= 1e-4 + 1e-12, s"$tpe level $gl vs $l")
+      assert(math.abs(gb - b) <= 1e-4 + 1e-12, s"$tpe trend $gb vs $b")
+    }
+  }
+
+  test("q225 Benford: digits 1-9, counts sum to |orders|, shares sum to ~1") {
+    val rows = Queries41.q225(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf((1 to 9).map(_.toString).toSet))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum $shareSum")
+    // Benford expectations are fixed constants
+    val ben = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ben.get("1").forall(_ == 0.3010) && ben.get("9").forall(_ == 0.0458))
+  }
+
+  test("q226 RRF: every fused doc comes from an arm; both-arm docs counted once per arm") {
+    val lex = Queries10.q131(spark, sf).collect().map(_.getLong(0)).toSet
+    val vec = Queries.q29(spark, sf).collect().map(_.getLong(0)).toSet
+    val rows = Queries41.q226(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (id, rrf, arms) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+      val expectArms = (if (lex(id)) 1 else 0) + (if (vec(id)) 1 else 0)
+      assert(arms == expectArms, s"doc $id arms $arms != $expectArms")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
+    }
+  }
+}
