@@ -73,40 +73,46 @@ object Ann {
       probe: DataFrame, k: Int, nCentroids: Int, nProbe: Int,
       seed: Long = 42L, maxIter: Int = 4,
       fitFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
-    val withVec = emb.withColumn("__vec",
-      array_to_vector(col(vecCol).cast("array<double>")))
     // few Lloyd rounds: the index only needs a REASONABLE partition
     // (recall is bought with nProbe, and the full-probe correctness
-    // anchor is invariant to clustering quality). At 100 TB the
-    // centroid fit runs on a SAMPLE (fitFraction < 1): k centroids
-    // need k·O(1e3) points, not the corpus — assignment below still
-    // covers every vector, so fitFraction touches recall only through
-    // partition quality (AnnRecallSpec bounds the loss at 0.25)
-    val fitInput =
-      if (fitFraction < 1.0) withVec.sample(withReplacement = false,
-        fitFraction, seed)
-      else withVec
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(maxIter)
-      .setFeaturesCol("__vec").setPredictionCol("__cluster")
-      .fit(fitInput)
-    val assigned = model.transform(withVec)
-    val probeVec = probe.withColumn("__vec",
-      array_to_vector(col("probe_emb").cast("array<double>")))
-    // centroid list is tiny (nCentroids × dim) → rank on the driver
-    val probeRows = probeVec.limit(2).collect()
+    // anchor is invariant to clustering quality). The fit runs
+    // DRIVER-SIDE on a deterministic hash-ordered sample, capped so k
+    // centroids see k·O(100) points whatever the corpus size —
+    // fitFraction < 1 additionally restricts WHICH rows are eligible
+    // (the 100 TB sample-fit mode; assignment below still covers
+    // every vector, so it touches recall only through partition
+    // quality — AnnRecallSpec bounds the loss at 0.25). Same
+    // training shape as pqTopK: no distributed KMeans job whose
+    // quality the rerank cannot see anyway.
+    val eligible =
+      if (fitFraction < 1.0)
+        emb.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+          < (fitFraction * 1000000L).toLong)
+      else emb
+    val trainN = math.max(nCentroids * 256, 2048)
+    val sample = eligible.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainN)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty training sample")
+    val centroids = lloyd(sample, nCentroids, seed, maxIter)
+    // assignment = PqCodes with ONE subspace spanning the full dim:
+    // a single narrow argmin pass, no vector-UDT conversion
+    val assigned = emb.withColumn("__cluster",
+      element_at(graft.functions.VectorExpressions.pq_codes(
+        col(vecCol), IndexedSeq(centroids)), 1))
+    val probeRows = probe.limit(2).collect()
     require(probeRows.length == 1,
       s"ivfTopK expects exactly one probe row, got ${if (probeRows.isEmpty) 0 else "2+"}")
-    val probeArr = probeRows(0).getAs[org.apache.spark.ml.linalg.Vector]("__vec")
-    val near = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, probeArr))
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val pv = probeRows(0).getSeq[Float](probeRows(0).fieldIndex("probe_emb"))
+      .map(_.toDouble)
+    // centroid list is tiny (nCentroids × dim) → rank on the driver
+    val near = centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { val d = c(j) - pv(j); s += d * d; j += 1 }
+      (i, s)
+    }.sortBy(_._2).take(nProbe).map(_._1)
     cosineTopK(assigned.filter(col("__cluster").isInCollection(near))
       .crossJoin(broadcast(probe)), idCol, vecCol, k)
   }
@@ -193,18 +199,47 @@ object Ann {
     cosineTopK(short.crossJoin(broadcast(probe)), idCol, vecCol, k)
   }
 
-  /** Seeded Lloyd's k-means on a driver-resident sample: shuffled
-    * distinct init (k ≤ n points), `iters` assign/update rounds,
-    * empty clusters keep their previous center. Deterministic for a
-    * fixed (points, k, seed, iters).
+  /** Seeded Lloyd's k-means on a driver-resident sample: k-means++
+    * D²-weighted init (Arthur/Vassilvitskii 2007 — a random init
+    * measurably halved IVF partition recall on the test corpus),
+    * `iters` assign/update rounds, empty clusters keep their previous
+    * center. Deterministic for a fixed (points, k, seed, iters).
     */
   private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
       iters: Int): IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(seed)
     val kk = math.min(k, points.length)
-    val centers: Array[Array[Double]] =
-      rnd.shuffle(points.indices.toList).take(kk)
-        .map(points(_).clone).toArray
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = points(rnd.nextInt(points.length)).clone
+    val d2 = points.map(p => sq(p, centers(0)))
+    var ci = 1
+    while (ci < kk) {
+      val total = d2.sum
+      // D² sampling; degenerate all-zero case falls back to round-robin
+      val next =
+        if (total <= 0) ci % points.length
+        else {
+          val target = rnd.nextDouble() * total
+          var acc = 0.0; var i = 0
+          while (i < points.length - 1 && acc + d2(i) < target) {
+            acc += d2(i); i += 1
+          }
+          i
+        }
+      centers(ci) = points(next).clone
+      var i = 0
+      while (i < points.length) {
+        val nd = sq(points(i), centers(ci))
+        if (nd < d2(i)) d2(i) = nd
+        i += 1
+      }
+      ci += 1
+    }
     val d = points(0).length
     var it = 0
     while (it < iters) {
