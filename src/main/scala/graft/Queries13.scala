@@ -82,8 +82,8 @@ object Queries13 {
     * = 8), which makes the result PROVABLY equal to brute-force
     * cosine top-k — every vector is scanned whatever partition KMeans
     * put it in — so the brute-force SQL is a sound oracle even though
-    * the coarse quantizer itself (MLlib KMeans, seeded) is not
-    * SQL-expressible. The at-scale mode (nProbe < nCentroids, a query
+    * the coarse quantizer itself (driver-side seeded k-means++ on a
+    * capped sample, Ann.lloyd) is not SQL-expressible. The at-scale mode (nProbe < nCentroids, a query
     * touches nProbe partitions of the corpus) is the SAME code path
     * with a smaller centroid set; its recall curve is measured in
     * AnnRecallSpec ("IVF: recall@10 grows with nProbe").
