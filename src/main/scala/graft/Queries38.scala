@@ -18,7 +18,7 @@ object Queries38 {
     * only ever runs inside a block, then score candidate pairs with a
     * native Jaro-Winkler expression (Linkage.scala — Spark has
     * levenshtein built in but no JW) and keep near-matches of
-    * DISTINCT names at rounded similarity ≥ 0.90. Both engines round
+    * DISTINCT names at rounded similarity ≥ 0.88 (chosen so even the sf0.001 smoke corpus yields pairs). Both engines round
     * to 4 decimals BEFORE thresholding, so a last-ulp disagreement in
     * the double math cannot flip a pair across the cut.
     *
@@ -40,7 +40,7 @@ object Queries38 {
       .filter(col("k1") < col("k2") && col("name1") =!= col("name2"))
       .withColumn("jw",
         round(Linkage.jaro_winkler(col("name1"), col("name2")), 4))
-      .filter(col("jw") >= 0.90)
+      .filter(col("jw") >= 0.88)
       .select(col("p_brand"), col("k1"), col("k2"),
         col("name1"), col("name2"), col("jw"))
       .orderBy(col("p_brand"), col("k1"), col("k2"))
@@ -143,7 +143,7 @@ object Oracle38 {
         |FROM p a JOIN p b
         |  ON a.p_brand = b.p_brand AND a.blk = b.blk
         |  AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
-        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.90
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88
         |ORDER BY a.p_brand, k1, k2""".stripMargin,
 
     "q218_dp_histogram" -> {

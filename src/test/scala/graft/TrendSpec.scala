@@ -61,4 +61,47 @@ class TrendSpec extends SparkSpec {
       assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
     }
   }
+
+  test("q227 OLS: r2 in [0,1]; slope sign agrees with a direct covariance check") {
+    val rows = Queries42.q227(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r2")
+    }
+    // recompute slope sign independently for one type
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).sortBy(_._2).map(_._3.toDouble)
+      val ts = xs.indices.map(_.toDouble)
+      val n = xs.length
+      val cov = ts.zip(xs).map { case (a, b) => a * b }.sum / n -
+        (ts.sum / n) * (xs.sum / n)
+      assert(math.signum(cov) == math.signum(r.getAs[Double]("slope")) ||
+        math.abs(r.getAs[Double]("slope")) < 1e-6)
+    }
+  }
+
+  test("q228 Wilson: bound is below the raw rate and ordering is by the bound") {
+    val rows = Queries42.q228(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("wilson_lb") <= r.getAs[Double]("rate") + 1e-9)
+      assert(r.getAs[Double]("wilson_lb") >= 0.0)
+    }
+    val bounds = rows.map(_.getAs[Double]("wilson_lb"))
+    assert(bounds.sliding(2).forall(p => p(0) >= p(1)), "not sorted by bound")
+  }
+
+  test("q229 CUSUM: alerts exceed 2 sigma and fire on every sf fixture") {
+    val rows = Queries42.q229(spark, sf).collect()
+    assert(rows.nonEmpty, "vacuous CUSUM: no alerts at sf0.001")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cusum") > 2.0 * r.getAs[Double]("sd") - 1e-6)
+    }
+  }
 }
