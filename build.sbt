@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with broadcast joins needs headroom; the box has 128 GiB
+  // local[32] with broadcast joins needs headroom; the box has 128 GiB.
+  // -Xms = -Xmx: heap-growth region resizing during the first timed
+  // bench pass showed up as pass-1-only GC churn.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
