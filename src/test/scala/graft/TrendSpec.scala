@@ -104,4 +104,29 @@ class TrendSpec extends SparkSpec {
       assert(r.getAs[Double]("cusum") > 2.0 * r.getAs[Double]("sd") - 1e-6)
     }
   }
+
+  test("plans: round-8 analytics keep the declared shapes") {
+    // q219: price-group running minima ride a broadcast join-back;
+    // the quadratic NOT-EXISTS never appears as a cartesian
+    val sky = Queries38.q219(spark, sf); sky.count()
+    assert(PlanCheck.hasBroadcastExchange(sky) && !PlanCheck.hasCartesian(sky))
+    // q226: the fused ranking ends in a TakeOrdered, not a global sort
+    val rrf = Queries41.q226(spark, sf); rrf.count()
+    assert(PlanCheck.hasTakeOrdered(rrf))
+    // q227/q230: regression moments are aggregates/windows — no join
+    val ols = Queries42.q227(spark, sf); ols.count()
+    assert(!PlanCheck.hasAnyJoin(ols) && PlanCheck.hasWindow(ols))
+    val roll = Queries43.q230(spark, sf); roll.count()
+    assert(!PlanCheck.hasAnyJoin(roll) && PlanCheck.hasWindow(roll))
+    // q231: the 1-row total rides a broadcast (the accepted
+    // scalar-subquery shape); at most that one nested-loop appears
+    val alloc = Queries43.q231(spark, sf); alloc.count()
+    assert(PlanCheck.hasBroadcastExchange(alloc))
+    assert(PlanCheck.collect[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec](alloc).size <= 1)
+    assert(!PlanCheck.hasCartesian(alloc))
+    // q232: the day-pair sum joins key-local on event_type — equi, never cartesian
+    val mk = Queries44.q232(spark, sf); mk.count()
+    assert(PlanCheck.hasAnyJoin(mk) && !PlanCheck.hasCartesian(mk) &&
+      !PlanCheck.hasNestedLoop(mk))
+  }
 }
