@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 9: market-basket association rules, item-item
+  * collaborative filtering, and a chi-square independence test
+  * (SURVEY §2.8 X144-X146).
+  */
+object Queries45 {
+  import Tables._
+
+  /** Distinct (orderkey, brand) basket rows — lineitem joined to the
+    * broadcast part dimension, deduped once. Both rule mining (q234)
+    * and the per-order pair expansion read this shape.
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand").as("brand"))
+      .distinct()
+
+  /** q234 — MARKET-BASKET ASSOCIATION RULES (X144). Directed rules
+    * brand_a → brand_b over order baskets with relative support
+    * ≥ 2%: support, confidence = n_ab/n_a, lift = N·n_ab/(n_a·n_b)
+    * (Agrawal & Srikant, VLDB'94). All counts are exact integers;
+    * the three ratios are single float divisions rounded 4dp.
+    *
+    * Scale: pair generation is ONE shuffle to per-order sorted brand
+    * sets then in-row i<j expansion (the q222 edge shape) — fanout
+    * is C(brands-per-order, 2), bounded by the 25-brand dimension,
+    * never |orders|². Item counts and the 1-row N total are
+    * broadcast back onto the ≤C(25,2) undirected pair rows.
+    */
+  def q234(s: SparkSession, d: String): DataFrame = {
+    val b = baskets(s, d)
+    val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCnt = b.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = b.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n_ab"))
+    val directed = pairCnt.select(col("a"), col("b"), col("n_ab"))
+      .union(pairCnt.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    directed
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "a")
+        .withColumnRenamed("n_item", "n_a")), Seq("a"))
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "b")
+        .withColumnRenamed("n_item", "n_b")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("n_ab").cast("double") >= lit(0.02) * col("n_orders"))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 4).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+  }
+
+  /** q235 — ITEM-ITEM COLLABORATIVE FILTERING (X145). Top-3 nearest
+    * brands per brand by binary cosine over the customer×brand
+    * purchase matrix: sim(a,b) = |A∩B| / √(|A|·|B|) (Sarwar et al.,
+    * WWW'01 item-based CF). Co-counts and item counts are exact
+    * integers; the cosine is one float divide by one √ — bit-equal
+    * cross-engine, so ranking on the raw double with a name
+    * tiebreak is deterministic.
+    *
+    * Scale: per-customer brand sets expand in-row (≤C(25,2) pairs
+    * per customer — bounded by the brand dimension, not the fact
+    * table); the ranking window runs over ≤25·24 directed rows.
+    */
+  def q235(s: SparkSession, d: String): DataFrame = {
+    val cb = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("p_brand").as("brand"))
+      .distinct()
+    val itemCnt = cb.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    val co = cb.groupBy(col("o_custkey"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n_co"))
+    val directed = co.select(col("a"), col("b"), col("n_co"))
+      .union(co.select(col("b").as("a"), col("a").as("b"), col("n_co")))
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "a")
+        .withColumnRenamed("n_item", "n_a")), Seq("a"))
+      .join(broadcast(itemCnt.withColumnRenamed("brand", "b")
+        .withColumnRenamed("n_item", "n_b")), Seq("b"))
+      .withColumn("cosine",
+        col("n_co").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cosine").desc, col("b"))
+    directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("a").as("brand"), col("rk"), col("b").as("neighbor"),
+        col("n_co"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("brand"), col("rk"))
+  }
+
+  /** q236 — CHI-SQUARE INDEPENDENCE TEST (X146). Pearson χ² of
+    * event_type × day-of-week over the events table. Per cell the
+    * statistic is computed from EXACT integers — (O·N − rt·ct)² /
+    * (N·rt·ct) with the numerator in decimal(38,0) so sf0.1-scale
+    * products can't overflow a long — rounded to 6dp decimal and
+    * summed EXACTLY, so the total is order-independent. Day-of-week
+    * is epoch-day mod 7 (identical integer arithmetic in both
+    * engines — no locale-dependent dayofweek()).
+    *
+    * Scale: one pass over the fact table into a ≤|types|·7-cell
+    * contingency aggregate; everything after is broadcast algebra.
+    */
+  def q236(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("dow")).as("n_dows"))
+    val terms = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .withColumn("num",
+        (col("o") * col("n") - col("rt") * col("ct")).cast("decimal(38,0)"))
+      .withColumn("term",
+        round((col("num") * col("num")).cast("double") /
+          (col("n") * col("rt") * col("ct")).cast("double"), 6)
+          .cast("decimal(18,6)"))
+    val perType = terms.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_events"),
+        round(sum(col("term")).cast("double"), 4).as("chi2_part"))
+    val total = terms
+      .agg(round(sum(col("term")).cast("double"), 4).as("chi2_total"))
+      .crossJoin(broadcast(n.select(
+        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"))))
+    perType.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_events"), col("chi2_part"),
+        col("chi2_total"), col("dof"),
+        // 36.415 = χ²₀.₀₅ critical value at dof 24 (5 types × 7 days);
+        // any other shape reports 'check' rather than a wrong verdict
+        when(col("dof") === 24 && col("chi2_total") > 36.415, "dependent")
+          .when(col("dof") === 24, "independent")
+          .otherwise("check").as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_assoc_rules" -> (q234 _),
+    "q235_item_cf" -> (q235 _),
+    "q236_chi2_independence" -> (q236 _))
+}
+
+/** DuckDB mirrors of Queries45 — identical integer counts, the same
+  * single-float-division tails, epoch-day mod-7 dow.
+  */
+object Oracle45 {
+
+  val sql: Map[String, String] = Map(
+    "q234_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |ic AS (SELECT brand, count(*) AS n_item FROM b GROUP BY brand),
+        |pc AS (SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey AND x.brand < y.brand
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT a, b, n_ab FROM pc
+        |  UNION ALL SELECT b, a, n_ab FROM pc)
+        |SELECT dir.a AS antecedent, dir.b AS consequent, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_orders, 4) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ia.n_item, 4) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders /
+        |    (ia.n_item * ib.n_item), 4) AS lift
+        |FROM dir
+        |JOIN ic ia ON ia.brand = dir.a
+        |JOIN ic ib ON ib.brand = dir.b
+        |CROSS JOIN n
+        |WHERE CAST(n_ab AS DOUBLE) >= 0.02 * n_orders
+        |ORDER BY lift DESC, antecedent, consequent""".stripMargin,
+
+    "q235_item_cf" ->
+      """WITH cb AS (
+        |  SELECT DISTINCT o_custkey, p_brand AS brand
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |ic AS (SELECT brand, count(*) AS n_item FROM cb GROUP BY brand),
+        |co AS (SELECT x.brand AS a, y.brand AS b, count(*) AS n_co
+        |  FROM cb x JOIN cb y
+        |    ON x.o_custkey = y.o_custkey AND x.brand < y.brand
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT a, b, n_co FROM co
+        |  UNION ALL SELECT b, a, n_co FROM co),
+        |sim AS (SELECT dir.a, dir.b, n_co,
+        |    CAST(n_co AS DOUBLE) /
+        |      sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)) AS cosine
+        |  FROM dir
+        |  JOIN ic ia ON ia.brand = dir.a
+        |  JOIN ic ib ON ib.brand = dir.b),
+        |rk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY a ORDER BY cosine DESC, b) AS rk
+        |  FROM sim)
+        |SELECT a AS brand, rk, b AS neighbor, n_co,
+        |  round(cosine, 4) AS cosine
+        |FROM rk WHERE rk <= 3 ORDER BY brand, rk""".stripMargin,
+
+    "q236_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    ((epoch_ns(ts) // 1000) // 86400000000) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS n_types,
+        |    count(DISTINCT dow) AS n_dows
+        |  FROM cells),
+        |terms AS (SELECT cells.event_type, cells.o,
+        |    CAST(round(
+        |      CAST(CAST(cells.o * n.n - rt.rt * ct.ct AS DECIMAL(38,0)) *
+        |           CAST(cells.o * n.n - rt.rt * ct.ct AS DECIMAL(38,0))
+        |        AS DOUBLE) /
+        |      CAST(n.n * rt.rt * ct.ct AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      AS term
+        |  FROM cells
+        |  JOIN rt USING (event_type)
+        |  JOIN ct USING (dow)
+        |  CROSS JOIN n),
+        |pt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
+        |    round(CAST(sum(term) AS DOUBLE), 4) AS chi2_part
+        |  FROM terms GROUP BY 1),
+        |tot AS (SELECT round(CAST(sum(term) AS DOUBLE), 4) AS chi2_total
+        |  FROM terms),
+        |dof AS (SELECT (n_types - 1) * (n_dows - 1) AS dof FROM n)
+        |SELECT event_type, n_events, chi2_part, chi2_total, dof,
+        |  CASE WHEN dof = 24 AND chi2_total > 36.415 THEN 'dependent'
+        |       WHEN dof = 24 THEN 'independent'
+        |       ELSE 'check' END AS verdict
+        |FROM pt CROSS JOIN tot CROSS JOIN dof
+        |ORDER BY event_type""".stripMargin)
+}
