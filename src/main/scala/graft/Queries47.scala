@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 11: resampling inference (bootstrap CI, permutation
+  * test) and RFM behavioral segmentation (SURVEY §2.8 X150-X152).
+  */
+object Queries47 {
+  import Tables._
+
+  /** Shared deterministic LCG draw — the same integer recurrence both
+    * engines evaluate exactly: ((1103515245·k + 12345) mod 2³¹) for
+    * k = b·100003 + i. Every intermediate fits a long (max ≈ 2.2e16),
+    * so there is no float anywhere in the resampling plan.
+    */
+  private def lcg(k: String): String =
+    s"((1103515245 * ($k) + 12345) % 2147483648)"
+
+  /** q240 — SEEDED BOOTSTRAP CONFIDENCE INTERVAL (X150). Percentile
+    * bootstrap (Efron 1979) of the mean daily order revenue: B = 200
+    * replicates, each resampling the n daily totals with replacement
+    * via the shared LCG index draw; CI bounds are the 5th and 196th
+    * order statistics of the replicate means (the declared 2.5%/97.5%
+    * convention at B = 200). Daily totals are decimal-exact; each
+    * replicate mean is one float division, and ranking uses the
+    * rounded mean with the replicate id as tiebreak.
+    *
+    * Scale: the resampling grid is B×n rows where n = |days| — it
+    * grows with the CALENDAR, not the fact table (sf0.01 and sf0.1
+    * have the same grid). One equi-join of the grid to the indexed
+    * day table, one B-row aggregate.
+    */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(38,10)")), 4)
+        .cast("decimal(28,4)").as("rev"))
+    val indexed = daily
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("day"))) - 1)
+    val n = indexed.agg(count(lit(1)).as("n_days"),
+      round(sum(col("rev")).cast("double") / count(lit(1)), 4)
+        .as("theta_hat"))
+    val grid = indexed.select(col("i"))
+      .crossJoin(broadcast(
+        s.range(1, 201).toDF("b")))
+      .crossJoin(broadcast(n.select(col("n_days"))))
+      .select(col("b"), expr(s"${lcg("b * 100003 + i")} % n_days").as("idx"))
+    val means = grid.join(indexed.select(col("i").as("idx"), col("rev")),
+        Seq("idx"))
+      .groupBy(col("b"))
+      .agg(sum(col("rev")).as("tot"))
+      .crossJoin(broadcast(n.select(col("n_days"))))
+      .select(col("b"),
+        round(col("tot").cast("double") / col("n_days"), 4).as("mean_b"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    val lo = ranked.filter(col("rn") === 5)
+      .select(col("mean_b").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === 196)
+      .select(col("mean_b").as("ci_hi"))
+    n.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_days"), lit(200L).as("n_boot"), col("theta_hat"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** q241 — PAIRED SIGN-FLIP PERMUTATION TEST (X151). Tests whether
+    * click and error daily value totals differ: T = Σ_d s_d·Δ_d with
+    * Δ_d the decimal-exact per-day total difference and s_d = ±1.
+    * T_obs takes all s = +1; P = 499 deterministic sign assignments
+    * come from bit 16 of the shared LCG (low LCG bits cycle — never
+    * use parity of the raw draw). p = (1 + #{|T_p| ≥ |T_obs|})/(P+1)
+    * (Fisher randomization; Good 2000). EVERYTHING is exact decimal —
+    * the comparison |T_p| ≥ |T_obs| never touches a float, so the
+    * p-value is engine-proof by construction, not by rounding.
+    *
+    * Scale: the permutation grid is P×|days| — calendar-bounded, like
+    * q240; the fact table is read once into the per-day aggregate.
+    */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    val diffs = events(s, d)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((sum(when(col("event_type") === "click",
+        col("value").cast("decimal(38,10)")).otherwise(lit(null)))
+        - sum(when(col("event_type") === "error",
+          col("value").cast("decimal(38,10)")).otherwise(lit(null))))
+        .as("diff_raw"))
+      .select(col("day"),
+        round(col("diff_raw"), 4).cast("decimal(28,4)").as("diff"))
+    val tObs = diffs.agg(abs(sum(col("diff"))).as("t_obs"),
+      count(lit(1)).as("n_days"))
+    val perms = diffs
+      .crossJoin(broadcast(s.range(1, 500).toDF("p")))
+      .select(col("p"),
+        when(expr(s"(${lcg("p * 100003 + day")} div 65536) % 2") === 0,
+          col("diff")).otherwise(-col("diff")).as("sdiff"))
+      .groupBy(col("p"))
+      .agg(abs(sum(col("sdiff"))).as("t_p"))
+    perms.crossJoin(broadcast(tObs))
+      .agg(count(lit(1)).as("n_perm"),
+        sum(when(col("t_p") >= col("t_obs"), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .crossJoin(broadcast(tObs))
+      .select(col("n_days"), col("n_perm"), col("t_obs"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_perm") + 1), 4).as("p_value"),
+        when(round((col("n_extreme") + 1).cast("double") /
+          (col("n_perm") + 1), 4) < 0.05, "reject_h0")
+          .otherwise("fail_to_reject").as("verdict"))
+  }
+
+  /** q242 — RFM SEGMENTATION (X152). Recency / frequency / monetary
+    * quintile scores per customer (ntile(5) with custkey tiebreaks —
+    * both engines share the same ntile bucket-size rule, so total
+    * order ⇒ identical buckets), folded into the classic lifecycle
+    * segments (champion / new / at-risk / lost / regular), reported
+    * as segment-level counts and averages.
+    *
+    * Scale: one custkey aggregate over orders; the three quintile
+    * windows run on the |customers| aggregate, and the segment
+    * report is a ≤5-row rollup. Monetary sums are decimal-exact.
+    */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    val maxDay = orders(s, d)
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .as("max_day"))
+    val rfm = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .as("last_day"),
+        count(lit(1)).as("f"),
+        round(sum(col("o_totalprice").cast("decimal(38,10)")), 4)
+          .cast("decimal(28,4)").as("m"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("max_day") - col("last_day"))
+    val scored = rfm
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f"), col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m"), col("o_custkey"))))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "lost")
+          .otherwise("regular"))
+    scored.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("recency").cast("double")), 4).as("avg_recency"),
+        round(avg(col("f").cast("double")), 4).as("avg_orders"),
+        round(sum(col("m")).cast("double") / count(lit(1)), 4)
+          .as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_bootstrap_ci" -> (q240 _),
+    "q241_permutation_test" -> (q241 _),
+    "q242_rfm_segments" -> (q242 _))
+}
+
+/** DuckDB mirrors of Queries47 — identical LCG integer recurrences,
+  * decimal-exact statistics, same ntile total orders.
+  */
+object Oracle47 {
+
+  val sql: Map[String, String] = Map(
+    "q240_bootstrap_ci" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(o_orderdate) // 1000) // 86400000000 AS day,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4)
+        |      AS DECIMAL(28,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT rev,
+        |    row_number() OVER (ORDER BY day) - 1 AS i
+        |  FROM daily),
+        |n AS (SELECT count(*) AS n_days,
+        |    round(CAST(sum(rev) AS DOUBLE) / count(*), 4) AS theta_hat
+        |  FROM idx),
+        |grid AS (SELECT b.b, i.i,
+        |    ((1103515245 * (b.b * 100003 + i.i) + 12345) % 2147483648)
+        |      % (SELECT n_days FROM n) AS draw
+        |  FROM (SELECT unnest(range(1, 201)) AS b) b CROSS JOIN idx i),
+        |means AS (SELECT g.b,
+        |    round(CAST(sum(x.rev) AS DOUBLE) /
+        |      (SELECT n_days FROM n), 4) AS mean_b
+        |  FROM grid g JOIN idx x ON x.i = g.draw
+        |  GROUP BY g.b),
+        |rk AS (SELECT mean_b,
+        |    row_number() OVER (ORDER BY mean_b, b) AS rn
+        |  FROM means)
+        |SELECT n.n_days, CAST(200 AS BIGINT) AS n_boot, n.theta_hat,
+        |  (SELECT mean_b FROM rk WHERE rn = 5) AS ci_lo,
+        |  (SELECT mean_b FROM rk WHERE rn = 196) AS ci_hi
+        |FROM n""".stripMargin,
+
+    "q241_permutation_test" ->
+      """WITH diffs AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    CAST(round(
+        |      sum(CASE WHEN event_type = 'click'
+        |          THEN CAST("value" AS DECIMAL(38,10)) END) -
+        |      sum(CASE WHEN event_type = 'error'
+        |          THEN CAST("value" AS DECIMAL(38,10)) END), 4)
+        |      AS DECIMAL(28,4)) AS diff
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |  GROUP BY 1),
+        |t0 AS (SELECT abs(sum(diff)) AS t_obs, count(*) AS n_days
+        |  FROM diffs),
+        |perms AS (SELECT p.p, abs(sum(
+        |    CASE WHEN (((1103515245 * (p.p * 100003 + d.day) + 12345)
+        |        % 2147483648) // 65536) % 2 = 0
+        |      THEN d.diff ELSE -d.diff END)) AS t_p
+        |  FROM (SELECT unnest(range(1, 500)) AS p) p CROSS JOIN diffs d
+        |  GROUP BY p.p),
+        |agg AS (SELECT count(*) AS n_perm,
+        |    CAST(sum(CASE WHEN t_p >= (SELECT t_obs FROM t0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |  FROM perms)
+        |SELECT t0.n_days, agg.n_perm, t0.t_obs, agg.n_extreme,
+        |  round(CAST(agg.n_extreme + 1 AS DOUBLE) / (agg.n_perm + 1), 4)
+        |    AS p_value,
+        |  CASE WHEN round(CAST(agg.n_extreme + 1 AS DOUBLE) /
+        |      (agg.n_perm + 1), 4) < 0.05
+        |    THEN 'reject_h0' ELSE 'fail_to_reject' END AS verdict
+        |FROM agg CROSS JOIN t0""".stripMargin,
+
+    "q242_rfm_segments" ->
+      """WITH md AS (
+        |  SELECT max((epoch_ns(o_orderdate) // 1000) // 86400000000)
+        |    AS max_day FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    (SELECT max_day FROM md) -
+        |      max((epoch_ns(o_orderdate) // 1000) // 86400000000)
+        |      AS recency,
+        |    count(*) AS f,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4)
+        |      AS DECIMAL(28,4)) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY m, o_custkey) AS m_score
+        |  FROM rfm),
+        |seg AS (SELECT *,
+        |    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |           THEN 'champion'
+        |         WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |         WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+        |         ELSE 'regular' END AS segment
+        |  FROM scored)
+        |SELECT segment, count(*) AS n_customers,
+        |  round(avg(CAST(recency AS DOUBLE)), 4) AS avg_recency,
+        |  round(avg(CAST(f AS DOUBLE)), 4) AS avg_orders,
+        |  round(CAST(sum(m) AS DOUBLE) / count(*), 4) AS avg_monetary
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin)
+}
