@@ -18,7 +18,7 @@ object Queries40 {
     * the dominant cost (the LshStages rationale).
     */
   private val edgeCache = TrieMap.empty[String, DataFrame]
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame = {
     val appId = s.sparkContext.applicationId
     edgeCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
       edgeCache.remove(k).foreach(df =>

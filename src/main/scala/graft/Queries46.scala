@@ -114,7 +114,7 @@ object Queries46 {
     * expression out, so the information gain below needs no per-class
     * ratio divisions.
     */
-  private def went(n: Column, p: Column): Column = {
+  private[graft] def went(n: Column, p: Column): Column = {
     def xlnx(c: Column): Column =
       when(c <= 0L, lit(0.0))
         .otherwise(c.cast("double") * log(c.cast("double")))

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Round-8 batch 12: graph link prediction, cross-validated model
+  * selection, and cross-source distribution alignment
+  * (SURVEY §2.8 X153-X155).
+  */
+object Queries48 {
+  import Tables._
+
+  /** q243 — ADAMIC-ADAR LINK PREDICTION (X153). Scores NON-edges of
+    * the min-support-2 co-order part graph by
+    * AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) (Adamic & Adar 2003) —
+    * the classic "which products will be co-bought next"
+    * recommendation primitive, and the link-prediction complement to
+    * q112's triangle count / q222's communities on the same graph.
+    * Per-term 1/ln(deg) is 6dp-rounded into decimal and summed
+    * EXACTLY, so scores are order-independent; every common neighbor
+    * has deg ≥ 2 by construction (it touches both endpoints), so
+    * ln(deg) > 0 always.
+    *
+    * Scale: reuses q222's persisted min-support-pruned edge list (the
+    * noise-pair argument lives there); the two-hop expansion is the
+    * SAME bounded wedge join q112's triangles run; the degree table
+    * is |parts|-bounded and broadcast.
+    */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val e = Queries40.coOrderEdges(s, d)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cand = e.select(col("u").as("a"), col("v").as("w"))
+      .join(e.select(col("u").as("w"), col("v").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val existing = e.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    cand.join(existing, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.withColumnRenamed("u", "w")), Seq("w"))
+      .withColumn("term",
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n_common"), col("aa_score"))
+  }
+
+  /** q244 — CROSS-VALIDATED DECISION STUMP (X154). 5-fold CV of
+    * q239's split finder: folds from the md5 projection of the order
+    * key (the q78 split convention — deterministic, engine-shared);
+    * per fold, the stump is FIT on the other four folds (best
+    * info-gain threshold + per-side majority class) and EVALUATED on
+    * the held-out fold against the train-majority baseline. The
+    * train/test separation is real: nothing from the eval fold
+    * reaches the fit. Counts/cumulatives are exact integers; entropy
+    * is the only float, ranked on its 6dp rounding.
+    *
+    * Scale: ONE pass over orders into a (bin × fold) cell table
+    * (≤100·5 rows); the 5 training views are conditional re-sums of
+    * those cells — the fact table is never re-read per fold.
+    */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val cells = orders(s, d).select(
+      floor(col("o_totalprice") / 5000).cast("long").as("bin"),
+      pmod(Text.md5Long(col("o_orderkey").cast("string")),
+        lit(5L)).as("fold"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("y"))
+      .groupBy(col("bin"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val folds = broadcast(s.range(0, 5).toDF("f"))
+    val train = cells.crossJoin(folds)
+      .filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+    val cum = Window.partitionBy(col("f")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("f")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gains = train
+      .withColumn("nl", sum(col("n")).over(cum))
+      .withColumn("pl", sum(col("pos")).over(cum))
+      .withColumn("nt", sum(col("n")).over(whole))
+      .withColumn("pt", sum(col("pos")).over(whole))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("gain_bits",
+        round((Queries46.went(col("nt"), col("pt")) -
+          Queries46.went(col("nl"), col("pl")) -
+          Queries46.went(col("nr"), col("pr"))) /
+          col("nt").cast("double") / lit(0.6931471805599453), 6))
+    val best = gains
+      .withColumn("rk", row_number().over(Window.partitionBy(col("f"))
+        .orderBy(col("gain_bits").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("f"), col("bin").as("best_bin"), col("gain_bits"),
+        (col("pl") * 2 > col("nl")).as("pred_left"),
+        (col("pr") * 2 > col("nr")).as("pred_right"),
+        (col("pt") * 2 > col("nt")).as("maj_train"))
+    cells.join(broadcast(best), cells("fold") === best("f"))
+      .withColumn("pred_pos",
+        when(col("bin") <= col("best_bin"), col("pred_left"))
+          .otherwise(col("pred_right")))
+      .withColumn("correct",
+        when(col("pred_pos"), col("pos")).otherwise(col("n") - col("pos")))
+      .withColumn("base_correct",
+        when(col("maj_train"), col("pos")).otherwise(col("n") - col("pos")))
+      .groupBy(col("f"))
+      .agg(max((col("best_bin") + 1) * 5000).as("threshold"),
+        max(col("gain_bits")).as("gain_bits"),
+        sum(col("n")).as("test_n"),
+        round(sum(col("correct")).cast("double") / sum(col("n")), 4)
+          .as("test_acc"),
+        round(sum(col("base_correct")).cast("double") / sum(col("n")), 4)
+          .as("baseline_acc"))
+      .orderBy(col("f"))
+  }
+
+  /** q245 — CROSS-SOURCE QUANTILE NORMALIZATION (X155). The
+    * decile-level mapping that aligns each source's n_chars
+    * distribution onto the pooled corpus distribution (the
+    * batch-effect correction / distribution-matching primitive):
+    * for d = 1..10, the source decile value (row at rank
+    * ⌈d·n_s/10⌉ in (n_chars, doc_id) order) vs the pooled decile
+    * value at the same relative rank — all integer ranks and values,
+    * no float anywhere.
+    *
+    * Scale: per-source ranks partition by source; the POOLED rank is
+    * the one global window, declared as the oracle-gate exactness
+    * path — the production corpus swaps it for the q159/q165
+    * mergeable quantile sketch. The decile grid multiplies a narrow
+    * 3-column projection by 10, then filters to exactly 10 rows per
+    * scope.
+    */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    val grid = broadcast(s.range(1, 11).toDF("decile"))
+    val docs = documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val bySrc = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+      .crossJoin(grid)
+      .filter(col("rn") === expr("(decile * n_s + 9) div 10"))
+      .select(col("source"), col("decile"), col("n_chars").as("src_value"))
+    val pooled = docs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n_t", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .crossJoin(grid)
+      .filter(col("rn") === expr("(decile * n_t + 9) div 10"))
+      .select(col("decile"), col("n_chars").as("pooled_value"))
+    bySrc.join(broadcast(pooled), Seq("decile"))
+      .select(col("source"), col("decile"), col("src_value"),
+        col("pooled_value"),
+        (col("pooled_value") - col("src_value")).as("shift"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_adamic_adar" -> (q243 _),
+    "q244_cv_stump" -> (q244 _),
+    "q245_quantile_normalize" -> (q245 _))
+}
+
+/** DuckDB mirrors of Queries48 — the q222 edge CTEs verbatim for the
+  * graph, the q78 md5 fold projection, identical integer rank math.
+  */
+object Oracle48 {
+
+  val sql: Map[String, String] = Map(
+    "q243_adamic_adar" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |ew AS (SELECT u, v FROM e0 GROUP BY u, v HAVING count(*) >= 2),
+        |ed AS (SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
+        |deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
+        |cand AS (SELECT e1.u AS a, e2.v AS b, e1.v AS w
+        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+        |  WHERE e1.u < e2.v),
+        |ne AS (SELECT c.a, c.b, c.w FROM cand c
+        |  LEFT JOIN ew ON ew.u = c.a AND ew.v = c.b
+        |  WHERE ew.u IS NULL),
+        |sc AS (SELECT a, b, count(*) AS n_common,
+        |    sum(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS aa_score
+        |  FROM ne JOIN deg ON deg.u = ne.w
+        |  GROUP BY a, b)
+        |SELECT a AS part_a, b AS part_b, n_common, aa_score
+        |FROM sc ORDER BY aa_score DESC, a, b LIMIT 20""".stripMargin,
+
+    "q244_cv_stump" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS bin,
+        |    CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 5 AS fold,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1, 2),
+        |folds AS (SELECT unnest(range(0, 5)) AS f),
+        |train AS (SELECT f.f, c.bin,
+        |    CAST(sum(c.n) AS BIGINT) AS n, CAST(sum(c.pos) AS BIGINT) AS pos
+        |  FROM cells c CROSS JOIN folds f
+        |  WHERE c.fold <> f.f GROUP BY f.f, c.bin),
+        |cumt AS (SELECT f, bin,
+        |    CAST(sum(n) OVER (PARTITION BY f ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS nl,
+        |    CAST(sum(pos) OVER (PARTITION BY f ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS pl,
+        |    CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+        |    CAST(sum(pos) OVER (PARTITION BY f) AS BIGINT) AS pt
+        |  FROM train),
+        |g AS (SELECT *, nt - nl AS nr, pt - pl AS pr,
+        |    round((
+        |      (CASE WHEN nt <= 0 THEN 0.0 ELSE nt * ln(CAST(nt AS DOUBLE)) END
+        |       - CASE WHEN pt <= 0 THEN 0.0 ELSE pt * ln(CAST(pt AS DOUBLE)) END
+        |       - CASE WHEN nt - pt <= 0 THEN 0.0
+        |           ELSE (nt - pt) * ln(CAST(nt - pt AS DOUBLE)) END)
+        |      - (CASE WHEN nl <= 0 THEN 0.0 ELSE nl * ln(CAST(nl AS DOUBLE)) END
+        |       - CASE WHEN pl <= 0 THEN 0.0 ELSE pl * ln(CAST(pl AS DOUBLE)) END
+        |       - CASE WHEN nl - pl <= 0 THEN 0.0
+        |           ELSE (nl - pl) * ln(CAST(nl - pl AS DOUBLE)) END)
+        |      - (CASE WHEN nt - nl <= 0 THEN 0.0
+        |           ELSE (nt - nl) * ln(CAST(nt - nl AS DOUBLE)) END
+        |       - CASE WHEN pt - pl <= 0 THEN 0.0
+        |           ELSE (pt - pl) * ln(CAST(pt - pl AS DOUBLE)) END
+        |       - CASE WHEN (nt - nl) - (pt - pl) <= 0 THEN 0.0
+        |           ELSE ((nt - nl) - (pt - pl)) *
+        |             ln(CAST((nt - nl) - (pt - pl) AS DOUBLE)) END)
+        |    ) / CAST(nt AS DOUBLE) / 0.6931471805599453, 6) AS gain_bits
+        |  FROM cumt WHERE nl > 0 AND nt - nl > 0),
+        |best AS (SELECT f, bin AS best_bin, gain_bits,
+        |    2 * pl > nl AS pred_left, 2 * pr > nr AS pred_right,
+        |    2 * pt > nt AS maj_train
+        |  FROM g
+        |  QUALIFY row_number() OVER (PARTITION BY f
+        |    ORDER BY gain_bits DESC, bin) = 1),
+        |ev AS (SELECT b.f, b.best_bin, b.gain_bits, c.n, c.pos,
+        |    CASE WHEN (CASE WHEN c.bin <= b.best_bin THEN b.pred_left
+        |                    ELSE b.pred_right END)
+        |      THEN c.pos ELSE c.n - c.pos END AS correct,
+        |    CASE WHEN b.maj_train THEN c.pos ELSE c.n - c.pos END
+        |      AS base_correct
+        |  FROM cells c JOIN best b ON c.fold = b.f)
+        |SELECT f, CAST(max((best_bin + 1) * 5000) AS BIGINT) AS threshold,
+        |  max(gain_bits) AS gain_bits,
+        |  CAST(sum(n) AS BIGINT) AS test_n,
+        |  round(CAST(sum(correct) AS DOUBLE) / sum(n), 4) AS test_acc,
+        |  round(CAST(sum(base_correct) AS DOUBLE) / sum(n), 4)
+        |    AS baseline_acc
+        |FROM ev GROUP BY f ORDER BY f""".stripMargin,
+
+    "q245_quantile_normalize" ->
+      """WITH grid AS (SELECT unnest(range(1, 11)) AS decile),
+        |src AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM documents),
+        |sdec AS (SELECT s.source, g.decile, s.n_chars AS src_value
+        |  FROM src s CROSS JOIN grid g
+        |  WHERE s.rn = (g.decile * s.n_s + 9) // 10),
+        |pool AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n_t
+        |  FROM documents),
+        |pdec AS (SELECT g.decile, p.n_chars AS pooled_value
+        |  FROM pool p CROSS JOIN grid g
+        |  WHERE p.rn = (g.decile * p.n_t + 9) // 10)
+        |SELECT s.source, s.decile, s.src_value, p.pooled_value,
+        |  p.pooled_value - s.src_value AS shift
+        |FROM sdec s JOIN pdec p ON s.decile = p.decile
+        |ORDER BY s.source, s.decile""".stripMargin)
+}
