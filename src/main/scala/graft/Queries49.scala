@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Text
+
+/** Round-8 batch 13: multivariate outlier scoring, monotone
+  * calibration, and conformal prediction (SURVEY §2.8 X156-X158).
+  */
+object Queries49 {
+  import Tables._
+
+  /** q246 — DIAGONAL-MAHALANOBIS OUTLIER SCORE (X156). Per-vector
+    * multivariate distance Σ_d (x_d − μ_d)²/σ²_d over the 64
+    * embedding dims — the multivariate complement to q09's univariate
+    * z-score and q173's MAD screen (a vector can be unremarkable per
+    * dim yet jointly anomalous; the diagonal form is the declared
+    * scalable stand-in for the full inverse covariance, which is a
+    * matrix-inversion job, not a SQL one). Dim moments use q133's
+    * exact decimal(38,18) sums; each per-dim term is 6dp-rounded into
+    * decimal and summed EXACTLY per vector, so the score is
+    * order-independent; top-20 by (score desc, vec_id).
+    *
+    * Scale: one posexplode pass → 64-row broadcast moment table →
+    * one narrow rejoin + per-vector aggregate; TakeOrdered tail.
+    */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 18)
+    val xs = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("xf").cast("double").as("x"))
+    val moments = xs.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(col("dim"), (col("sx") / col("n")).as("mu"),
+        (col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n"))).as("v"))
+    xs.join(broadcast(moments), Seq("dim"))
+      .withColumn("term",
+        round((col("x") - col("mu")) * (col("x") - col("mu")) / col("v"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("term")).as("score_dec"))
+      .select(col("vec_id"), col("label"),
+        round(col("score_dec").cast("double"), 4).as("m2_score"))
+      .orderBy(col("m2_score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** q247 — ISOTONIC CALIBRATION (PAVA, X157). Monotone calibration
+    * of the price-decile "score" against urgent/high priority: the
+    * isotonic fit at decile i is max_{j≤i} min_{k≥i} avg(j..k) — the
+    * MINIMAX closed form of pool-adjacent-violators (Ayer 1955;
+    * Barlow & Brunk 1972). With 10 deciles the (j,k) grid is 55 pairs
+    * of EXACT integer cumulative (pos, n) differences; each interval
+    * average is one double division, and min/max over identical
+    * doubles are engine-proof. The closed form means NO sequential
+    * pooling loop exists in either engine — the oracle is a different
+    * algorithm shape than scikit's stack PAVA yet provably the same
+    * function.
+    *
+    * Scale: ntile decile assignment on the |orders| aggregate feeds a
+    * 10-row cumulative table; the minimax grid is 10³ driver-free
+    * broadcast algebra.
+    */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    val byDecile = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val cum = byDecile
+      .withColumn("cn", sum(col("n")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cp", sum(col("pos")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val j = cum.select(col("decile").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("pos")).as("cpj"))
+    val k = cum.select(col("decile").as("k"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val pairs = j.crossJoin(k).filter(col("j") <= col("k"))
+      .withColumn("avg_jk",
+        (col("cpk") - col("cpj")).cast("double") /
+          (col("cnk") - col("cnj")).cast("double"))
+    val grid = broadcast(s.range(1, 11).toDF("decile"))
+    val iso = pairs.join(grid,
+        col("j") <= col("decile") && col("decile") <= col("k"))
+      .groupBy(col("decile"), col("j"))
+      .agg(min(col("avg_jk")).as("min_k"))
+      .groupBy(col("decile"))
+      .agg(max(col("min_k")).as("iso"))
+    byDecile.join(broadcast(iso), Seq("decile"))
+      .select(col("decile"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n"), 4).as("raw_rate"),
+        round(col("iso"), 4).as("iso_rate"))
+      .orderBy(col("decile"))
+  }
+
+  /** q248 — SPLIT-CONFORMAL PREDICTION INTERVALS (X158). Mondrian
+    * (per-event-type) split conformal at 90% (Vovk 2005; Lei 2018):
+    * folds 0-1 TRAIN the point model (per-type mean of value from
+    * exact decimal sums), fold 2 CALIBRATES q̂ = the
+    * ⌈0.9·(n_cal+1)⌉-th smallest |y − ŷ| (integer rank, event_id
+    * tiebreak), fold 3 measures empirical coverage of ŷ ± q̂ — the
+    * finite-sample-valid uncertainty wrapper any point model gets for
+    * free. Fold = md5(event_id) mod 4, the q78 convention.
+    *
+    * Scale: one events pass; calibration ranking windows partition
+    * per type; everything after the per-type aggregate is broadcast.
+    */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        pmod(Text.md5Long(col("event_id").cast("string")), lit(4L))
+          .as("fold"))
+    val model = base.filter(col("fold") <= 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"),
+        (sum(col("value").cast("decimal(38,10)")).cast("double") /
+          count(lit(1))).as("yhat"))
+    val cal = base.filter(col("fold") === 2)
+      .join(broadcast(model), Seq("event_type"))
+      .withColumn("r", abs(col("value") - col("yhat")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("r"), col("event_id"))))
+      .withColumn("n_cal", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val qhat = cal
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("event_type"), col("n_cal"), col("r").as("qhat"))
+    base.filter(col("fold") === 3)
+      .join(broadcast(model), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_train"), col("n_cal"),
+        col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("value") - col("yhat")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_train"), col("n_cal"),
+        col("n_test"), round(col("qhat"), 4).as("qhat"),
+        round(col("n_covered").cast("double") / col("n_test"), 4)
+          .as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_mahalanobis_outliers" -> (q246 _),
+    "q247_isotonic_calibration" -> (q247 _),
+    "q248_conformal_coverage" -> (q248 _))
+}
+
+/** DuckDB mirrors of Queries49 — q133's decimal moment path, the
+  * minimax isotonic form, the q78 md5 fold projection.
+  */
+object Oracle49 {
+
+  val sql: Map[String, String] = Map(
+    "q246_mahalanobis_outliers" ->
+      """WITH x AS (SELECT vec_id, label, r.i AS dim,
+        |    CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY dim),
+        |mv AS (SELECT dim, sx / n AS mu,
+        |    sxx / n - (sx / n) * (sx / n) AS v
+        |  FROM m),
+        |t AS (SELECT x.vec_id, x.label,
+        |    CAST(round((x.x - mv.mu) * (x.x - mv.mu) / mv.v, 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM x JOIN mv USING (dim)),
+        |sc AS (SELECT vec_id, label, sum(term) AS score_dec
+        |  FROM t GROUP BY vec_id, label)
+        |SELECT vec_id, label,
+        |  round(CAST(score_dec AS DOUBLE), 4) AS m2_score
+        |FROM sc ORDER BY m2_score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q247_isotonic_calibration" ->
+      """WITH scored AS (
+        |  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+        |      AS decile,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |byd AS (SELECT decile, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM scored GROUP BY decile),
+        |cum AS (SELECT decile, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cp
+        |  FROM byd),
+        |pairs AS (SELECT j.decile AS j, k.decile AS k,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE) /
+        |      CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+        |  FROM cum j JOIN cum k ON j.decile <= k.decile),
+        |g AS (SELECT unnest(range(1, 11)) AS decile),
+        |mink AS (SELECT g.decile, p.j, min(p.avg_jk) AS min_k
+        |  FROM pairs p JOIN g ON p.j <= g.decile AND g.decile <= p.k
+        |  GROUP BY g.decile, p.j),
+        |iso AS (SELECT decile, max(min_k) AS iso
+        |  FROM mink GROUP BY decile)
+        |SELECT b.decile, b.n, b.pos,
+        |  round(CAST(b.pos AS DOUBLE) / b.n, 4) AS raw_rate,
+        |  round(i.iso, 4) AS iso_rate
+        |FROM byd b JOIN iso i ON b.decile = i.decile
+        |ORDER BY b.decile""".stripMargin,
+
+    "q248_conformal_coverage" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, "value",
+        |    CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 4 AS fold
+        |  FROM events WHERE event_type IS NOT NULL),
+        |model AS (SELECT event_type, count(*) AS n_train,
+        |    CAST(sum(CAST("value" AS DECIMAL(38,10))) AS DOUBLE) /
+        |      count(*) AS yhat
+        |  FROM base WHERE fold <= 1 GROUP BY event_type),
+        |cal AS (SELECT b.event_type, abs(b."value" - m.yhat) AS r,
+        |    row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY abs(b."value" - m.yhat), b.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY b.event_type) AS n_cal
+        |  FROM base b JOIN model m USING (event_type)
+        |  WHERE b.fold = 2),
+        |qh AS (SELECT event_type, n_cal, r AS qhat FROM cal
+        |  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+        |test AS (SELECT b.event_type, m.n_train, q.n_cal, q.qhat,
+        |    count(*) AS n_test,
+        |    CAST(sum(CASE WHEN abs(b."value" - m.yhat) <= q.qhat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM base b
+        |  JOIN model m USING (event_type)
+        |  JOIN qh q USING (event_type)
+        |  WHERE b.fold = 3
+        |  GROUP BY b.event_type, m.n_train, q.n_cal, q.qhat)
+        |SELECT event_type, n_train, n_cal, n_test,
+        |  round(qhat, 4) AS qhat,
+        |  round(CAST(n_covered AS DOUBLE) / n_test, 4) AS coverage
+        |FROM test ORDER BY event_type""".stripMargin)
+}

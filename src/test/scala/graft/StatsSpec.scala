@@ -158,6 +158,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q246: outlier scores are positive and returned in strict rank order") {
+    val rows = q("q246_mahalanobis_outliers").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("m2_score"))
+    scores.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => () }
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("q247: isotonic fit is monotone non-decreasing and preserves the total") {
+    val rows = q("q247_isotonic_calibration").collect()
+      .sortBy(_.getAs[Int]("decile"))
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    iso.sliding(2).foreach { case Array(a, b) => assert(b >= a, s"$a -> $b"); case _ => () }
+    // PAVA preserves the weighted mean: Σ n_i·iso_i ≈ Σ pos_i
+    val fitted = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    val actual = rows.map(_.getAs[Long]("pos")).sum.toDouble
+    assert(math.abs(fitted - actual) / actual < 0.01, s"$fitted vs $actual")
+  }
+
+  test("q248: conformal coverage lands near the 90% target on every type") {
+    val rows = q("q248_conformal_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0.75 && c <= 1.0,
+        s"${r.getAs[String]("event_type")}: coverage $c")
+      assert(r.getAs[Double]("qhat") > 0.0)
+    }
+  }
+
   test("q245: decile mappings are complete and monotone per source") {
     val rows = q("q245_quantile_normalize").collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
