@@ -1,0 +1,229 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-8 batch 14: multi-resolution signal energy and graph
+  * reachability (SURVEY §2.8 X159-X160).
+  */
+object Queries50 {
+  import Tables._
+
+  /** q249 — HAAR WAVELET ENERGY DECOMPOSITION (X159). Unnormalized
+    * Haar lifting over each type's 32-day padded daily totals:
+    * level ℓ sums/differences a_i = x_{2i-1}+x_{2i},
+    * d_i = x_{2i-1}−x_{2i} — the multi-resolution complement to
+    * q49's FFT (which localizes in frequency but not time; Haar
+    * details say WHICH half of the window moved). Totals are
+    * 4dp-decimal scaled to integer ten-thousandths, so every
+    * coefficient at every level is an EXACT integer — the classic
+    * /√2 normalization is deliberately dropped (it would put an
+    * irrational in every coefficient); energies are comparable
+    * within a level, which is what the per-level report needs.
+    *
+    * Scale: one daily aggregate, then per-key in-row array algebra
+    * on 32-element arrays (the q224 fold argument); output is
+    * 6 rows per key.
+    */
+  def q249(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((round(sum(col("value").cast("decimal(38,10)")), 4) *
+        lit(10000)).cast("long").as("xi"))
+    val minDay = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"))
+    val series = daily.join(broadcast(minDay), Seq("event_type"))
+      .select(col("event_type"), (col("day") - col("d0")).as("i"),
+        col("xi"))
+      .groupBy(col("event_type"))
+      .agg(map_from_arrays(collect_list(col("i")), collect_list(col("xi")))
+        .as("m"))
+      // pad to the 32-slot dyadic grid; absent days are exact zeros
+      .withColumn("xs", expr(
+        "transform(sequence(0, 31), i -> " +
+          "coalesce(element_at(m, cast(i as bigint)), 0L))"))
+      .drop("m")
+    def halve(src: String, op: String): String =
+      s"transform(sequence(1, size($src) div 2), i -> " +
+        s"element_at($src, cast(2 * i - 1 as int)) $op " +
+        s"element_at($src, cast(2 * i as int)))"
+    val lev = series
+      .withColumn("a1", expr(halve("xs", "+")))
+      .withColumn("d1", expr(halve("xs", "-")))
+      .withColumn("a2", expr(halve("a1", "+")))
+      .withColumn("d2", expr(halve("a1", "-")))
+      .withColumn("a3", expr(halve("a2", "+")))
+      .withColumn("d3", expr(halve("a2", "-")))
+      .withColumn("a4", expr(halve("a3", "+")))
+      .withColumn("d4", expr(halve("a3", "-")))
+      .withColumn("a5", expr(halve("a4", "+")))
+      .withColumn("d5", expr(halve("a4", "-")))
+    def levelRow(l: Int): String =
+      s"struct(${l}L AS level, d$l AS coeffs)"
+    lev.select(col("event_type"), explode(expr(
+        s"array(struct(0L AS level, a5 AS coeffs), " +
+          (1 to 5).map(levelRow).mkString(", ") + ")")).as("lv"))
+      .select(col("event_type"), col("lv.level").as("level"),
+        expr("size(lv.coeffs)").as("n_coeffs"),
+        expr("aggregate(lv.coeffs, 0L, (acc, v) -> acc + abs(v))")
+          .as("l1_energy"),
+        expr("array_max(transform(lv.coeffs, v -> abs(v)))").as("max_abs"),
+        expr("array_position(transform(lv.coeffs, v -> abs(v)), " +
+          "array_max(transform(lv.coeffs, v -> abs(v))))").as("arg_pos"))
+      .orderBy(col("event_type"), col("level"))
+  }
+
+  /** Final 4-round BFS distance table, materialized once per
+    * (session, sf dir) with EAGER per-round persistence — the same
+    * 2^rounds lazy-lineage guard as q222's lpaLabels (each round
+    * reads the previous one twice: frontier join + least()).
+    */
+  private val bfsCache = TrieMap.empty[String, DataFrame]
+  private def bfsDists(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    bfsCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
+      bfsCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+    bfsCache.getOrElseUpdate(appId + "|" + d, {
+      val e = Queries40.coOrderEdges(s, d)
+      val seed = e.agg(min(col("u")).as("seed"))
+      var dist = e.select(col("u").as("node")).distinct()
+        .crossJoin(broadcast(seed))
+        .select(col("node"),
+          when(col("node") === col("seed"), 0L).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dist.count()
+      for (_ <- 1 to 4) {
+        val reach = e.join(dist.filter(col("dist").isNotNull)
+            .select(col("node").as("u"), col("dist").as("du")), Seq("u"))
+          .groupBy(col("v").as("node"))
+          .agg((min(col("du")) + 1).as("nd"))
+        val next = dist.join(reach, Seq("node"), "left")
+          .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        dist.unpersist(blocking = false)
+        dist = next
+      }
+      dist
+    })
+  }
+
+  /** q250 — BFS REACHABILITY HISTOGRAM (X160, 4 synchronous rounds).
+    * Hop-distance distribution from the smallest part key over the
+    * min-support-2 co-order graph — the reachability complement to
+    * q222's communities and q243's link scores on the same edge list
+    * (how FAR influence travels, not just where it clusters). Fixed
+    * rounds keep the plan static and the oracle unrollable (the q130
+    * argument); nodes beyond 4 hops report as distance −1, which at
+    * this graph's density also measures the diameter claim.
+    *
+    * Scale: per round ONE equi-join of the persisted pruned edge
+    * list against the |nodes|-row distance table + a min-aggregate;
+    * rounds persist eagerly (2^rounds lineage guard).
+    */
+  def q250(s: SparkSession, d: String): DataFrame =
+    bfsDists(s, d)
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("dist"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_haar_energy" -> (q249 _),
+    "q250_bfs_hops" -> (q250 _))
+}
+
+/** DuckDB mirrors of Queries50 — identical integer lifting, unrolled
+  * BFS rounds over the q222 edge CTEs.
+  */
+object Oracle50 {
+
+  private def bfsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""r$k AS (SELECT e.v AS node, min(d.dist) + 1 AS nd
+         |  FROM ed e JOIN d${k - 1} d ON e.u = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY e.v),
+         |d$k AS (SELECT n.node, least(n.dist, r.nd) AS dist
+         |  FROM d${k - 1} n LEFT JOIN r$k r ON n.node = r.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ew AS (SELECT u, v FROM e0 GROUP BY u, v HAVING count(*) >= 2),
+       |ed AS (SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
+       |sd AS (SELECT min(u) AS seed FROM ed),
+       |d0 AS (SELECT DISTINCT u AS node,
+       |    CASE WHEN u = (SELECT seed FROM sd) THEN 0 END AS dist
+       |  FROM ed),
+       |$steps
+       |SELECT coalesce(dist, -1) AS dist, count(*) AS n_parts
+       |FROM d$rounds GROUP BY 1 ORDER BY dist""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "q249_haar_energy" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    CAST(round(sum(CAST("value" AS DECIMAL(38,10))), 4) * 10000
+        |      AS BIGINT) AS xi
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |m0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |pad AS (SELECT d.event_type, g.i,
+        |    coalesce(max(CASE WHEN d.day - m.d0 = g.i THEN d.xi END), 0)
+        |      AS xi
+        |  FROM daily d
+        |  JOIN m0 m ON m.event_type = d.event_type
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+        |  GROUP BY d.event_type, g.i),
+        |ser AS (SELECT event_type,
+        |    list(xi ORDER BY i) AS xs
+        |  FROM pad GROUP BY event_type),
+        |lv AS (SELECT event_type, xs,
+        |    list_transform(range(1, 17), i -> xs[2*i-1] + xs[2*i]) AS a1,
+        |    list_transform(range(1, 17), i -> xs[2*i-1] - xs[2*i]) AS d1
+        |  FROM ser),
+        |lv2 AS (SELECT *,
+        |    list_transform(range(1, 9), i -> a1[2*i-1] + a1[2*i]) AS a2,
+        |    list_transform(range(1, 9), i -> a1[2*i-1] - a1[2*i]) AS d2
+        |  FROM lv),
+        |lv3 AS (SELECT *,
+        |    list_transform(range(1, 5), i -> a2[2*i-1] + a2[2*i]) AS a3,
+        |    list_transform(range(1, 5), i -> a2[2*i-1] - a2[2*i]) AS d3
+        |  FROM lv2),
+        |lv4 AS (SELECT *,
+        |    list_transform(range(1, 3), i -> a3[2*i-1] + a3[2*i]) AS a4,
+        |    list_transform(range(1, 3), i -> a3[2*i-1] - a3[2*i]) AS d4
+        |  FROM lv3),
+        |lv5 AS (SELECT *,
+        |    list_transform(range(1, 2), i -> a4[2*i-1] + a4[2*i]) AS a5,
+        |    list_transform(range(1, 2), i -> a4[2*i-1] - a4[2*i]) AS d5
+        |  FROM lv4),
+        |rows_ AS (
+        |  SELECT event_type, 0 AS level, a5 AS coeffs FROM lv5
+        |  UNION ALL SELECT event_type, 1, d1 FROM lv5
+        |  UNION ALL SELECT event_type, 2, d2 FROM lv5
+        |  UNION ALL SELECT event_type, 3, d3 FROM lv5
+        |  UNION ALL SELECT event_type, 4, d4 FROM lv5
+        |  UNION ALL SELECT event_type, 5, d5 FROM lv5)
+        |SELECT event_type, CAST(level AS BIGINT) AS level,
+        |  CAST(len(coeffs) AS INT) AS n_coeffs,
+        |  CAST(list_sum(list_transform(coeffs, v -> abs(v))) AS BIGINT)
+        |    AS l1_energy,
+        |  CAST(list_max(list_transform(coeffs, v -> abs(v))) AS BIGINT)
+        |    AS max_abs,
+        |  CAST(list_position(list_transform(coeffs, v -> abs(v)),
+        |    list_max(list_transform(coeffs, v -> abs(v)))) AS BIGINT)
+        |    AS arg_pos
+        |FROM rows_ ORDER BY event_type, level""".stripMargin,
+
+    "q250_bfs_hops" -> bfsSql(4))
+}
