@@ -79,7 +79,11 @@ object Queries45 {
     val cb = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      // orders is a 2-long-column projection (~2 MB at sf0.1) — far
+      // under the broadcast threshold, but the planner sees the full
+      // table stats and picks SMJ (measured 2.96 s); the explicit
+      // broadcast keeps the fact table to ONE shuffle (the distinct)
+      .join(broadcast(orders(s, d).select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("p_brand").as("brand"))
       .distinct()
