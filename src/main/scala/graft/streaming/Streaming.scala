@@ -548,6 +548,52 @@ object Streaming {
     * are prefixed `r_` in the output automatically (both frames may
     * use natural names, including the same `key` name).
     */
+  // ---- T14: streaming CUSUM changepoint alerts ------------------------
+
+  case class CusumIn(key: String, day: Long, x: Double,
+      mu: Double, sd: Double)
+  case class CusumState(s: Double, lastDay: Long)
+  case class CusumOut(key: String, day: Long, s: Double)
+
+  /** Streaming one-sided CUSUM: per-key state is the single running
+    * evidence scalar S = max(0, S + (x − μ − 0.5σ)); a day whose S
+    * crosses 2σ emits an alert — the SERVING path of q229's batch
+    * detector (k = 0.5σ, h = 2σ, same no-reset-after-alert
+    * convention). μ/σ ride on the input rows (in production they come
+    * from a calibration join against the batch-computed parameters;
+    * carrying them per-row keeps the operator pure). Within a batch,
+    * rows fold in day order, and the asofServe cross-batch guard
+    * applies: a day at or before the last folded day is dropped, so
+    * disorder degrades predictably instead of double-counting
+    * evidence.
+    *
+    * Scale: per-key state is ONE double + ONE long forever; alerts
+    * stream out the moment the crossing batch is processed instead of
+    * waiting for a nightly batch scan.
+    */
+  def cusumAlerts(ds: Dataset[CusumIn])(
+      implicit spark: SparkSession): Dataset[CusumOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CusumIn],
+            state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(CusumState(0.0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          sorted.foreach { e =>
+            if (e.day > st.lastDay) {
+              val s = math.max(0.0, st.s + (e.x - e.mu - 0.5 * e.sd))
+              st = CusumState(s, e.day)
+              if (s > 2.0 * e.sd) out += CusumOut(key, e.day, s)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, withinSec: Long,
       watermark: String = "10 minutes"): DataFrame = {

@@ -633,6 +633,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T14 differential: streaming CUSUM == q229 batch alerts under any batch split") {
+    import Streaming.{CusumIn, CusumOut}
+    // batch twin: q229's (event_type, day, cusum) alert set
+    val batch = SparkEntry.queries("q229_cusum_alerts")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Double]("cusum"))).toSet
+    // same daily series + the SAME calibrated (mu, sd) riding each row
+    val daily = Tables.events(spark, sf)
+      .filter($"event_type".isNotNull)
+      .groupBy($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val params = daily.groupBy($"event_type")
+      .agg((sum($"x") / count(lit(1))).as("mu"),
+        sqrt(sum($"x" * $"x") / count(lit(1)) -
+          (sum($"x") / count(lit(1))) * (sum($"x") / count(lit(1))))
+          .as("sd"))
+    val rows = daily.join(params, Seq("event_type"))
+      .orderBy($"day", $"event_type").collect().map(r =>
+        CusumIn(r.getAs[String]("event_type"), r.getAs[Long]("day"),
+          r.getAs[Double]("x"), r.getAs[Double]("mu"),
+          r.getAs[Double]("sd"))).toSeq
+    def run(name: String, nSplits: Int): Set[(String, Long, Double)] = {
+      val in = MemoryStream[CusumIn](spark)
+      val q = Streaming.cusumAlerts(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val size = math.max(1, rows.size / nSplits)
+        rows.grouped(size).foreach { chunk =>
+          in.addData(chunk); q.processAllAvailable()
+        }
+        spark.table(name).as[CusumOut].collect()
+          .map(o => (o.key, o.day,
+            BigDecimal(o.s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)).toSet
+      } finally q.stop()
+    }
+    val one = run("t14one", 1)
+    val four = run("t14four", 4)
+    assert(batch.nonEmpty, "fixture should raise at least one alert")
+    assert(one == batch,
+      s"stream\\batch=${(one -- batch).take(3)}, batch\\stream=${(batch -- one).take(3)}")
+    assert(four == batch, "batch-split invariance violated")
+    // out-of-order guard: replaying the whole series changes nothing
+    val in = MemoryStream[CusumIn](spark)
+    val q = Streaming.cusumAlerts(in.toDS())
+      .writeStream.format("memory").queryName("t14replay")
+      .outputMode("append").start()
+    try {
+      in.addData(rows); q.processAllAvailable()
+      in.addData(rows); q.processAllAvailable()
+      val replay = spark.table("t14replay").as[CusumOut].collect()
+        .map(o => (o.key, o.day,
+          BigDecimal(o.s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)).toSet
+      assert(replay == batch, "duplicate replay double-counted evidence")
+    } finally q.stop()
+  }
+
   test("T13 differential: streaming as-of serve == batch ROWS-frame under any batch split") {
     import org.apache.spark.sql.expressions.Window
     import Streaming.{FeatEvent, Served}
