@@ -2,6 +2,7 @@ package graft
 
 import java.math.{BigDecimal => JBig, MathContext, RoundingMode}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Invariants + plan shapes for the round-8 statistics/mining batch
   * (q234-q245). The DuckDB gate proves value parity; these tests pin
@@ -185,6 +186,73 @@ class StatsSpec extends SparkSpec {
       assert(c >= 0.75 && c <= 1.0,
         s"${r.getAs[String]("event_type")}: coverage $c")
       assert(r.getAs[Double]("qhat") > 0.0)
+    }
+  }
+
+  test("q249: level-0 Haar coefficient is the exact series total per type") {
+    val rows = q("q249_haar_energy").collect()
+    val dc = rows.filter(_.getAs[Long]("level") == 0L)
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("max_abs"))
+      .toMap
+    val totals = Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg((round(sum(col("value").cast("decimal(38,10)")), 4) *
+        lit(10000)).cast("long").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (t, tot) =>
+      assert(dc(t) == math.abs(tot), s"$t: dc=${dc(t)} total=$tot")
+    }
+    // detail levels halve in length: 16, 8, 4, 2, 1
+    rows.filter(_.getAs[Long]("level") > 0L)
+      .groupBy(_.getAs[Long]("level")).foreach { case (l, rs) =>
+        assert(rs.head.getAs[Int]("n_coeffs") == 32 >> l.toInt)
+      }
+  }
+
+  test("q250: BFS histogram partitions the node set; distances contiguous from 0") {
+    val rows = q("q250_bfs_hops").collect()
+    val total = rows.map(_.getAs[Long]("n_parts")).sum
+    val nNodes = Queries40.coOrderEdges(spark, sf)
+      .select("u").distinct().count()
+    assert(total == nNodes, s"$total vs $nNodes")
+    val dists = rows.map(_.getAs[Long]("dist")).filter(_ >= 0).sorted
+    assert(dists.headOption.contains(0L))
+    dists.sliding(2).foreach {
+      case Array(a, b) => assert(b == a + 1, s"gap $a -> $b"); case _ => ()
+    }
+  }
+
+  test("q270: authorities are a normalized distribution over parts") {
+    val top = q("q270_hits_authorities").collect()
+    assert(top.length == 10)
+    val as = top.map(_.getAs[java.math.BigDecimal]("authority"))
+    as.sliding(2).foreach {
+      case Array(a, b) => assert(b.compareTo(a) <= 0); case _ => ()
+    }
+    assert(as.forall(_.signum > 0))
+    // top-10 of an L1-normalized vector can't exceed 1
+    assert(as.map(_.doubleValue).sum <= 1.0 + 1e-6)
+  }
+
+  test("q264: kept rates track 1/cluster-size within binomial noise") {
+    val rows = q("q264_dup_weighted_sample").collect()
+    val singleton = rows.find(_.getAs[Long]("cluster_size") == 1L).get
+    assert(singleton.getAs[Long]("n_kept") == singleton.getAs[Long]("n_docs"),
+      "singletons must always be kept")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q247/q261: evaluation scores stay in their defined ranges") {
+    q("q261_silhouette").collect().foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 && m <= 1.0)
+    }
+    q("q266_markov_eval").collect().foreach { r =>
+      assert(r.getAs[Double]("top1_acc") >= 0.0 &&
+        r.getAs[Double]("top1_acc") <= 1.0)
     }
   }
 
