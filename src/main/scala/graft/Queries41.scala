@@ -93,7 +93,7 @@ object Queries41 {
     * q29).
     */
   def q226(s: SparkSession, d: String): DataFrame = {
-    val lex = Queries10.q131(s, d)
+    val lex = Queries10.bm25Top20Cached(s, d)
       .withColumn("r", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("r"))

@@ -83,7 +83,7 @@ object Queries50 {
     * reads the previous one twice: frontier join + least()).
     */
   private val bfsCache = TrieMap.empty[String, DataFrame]
-  private def bfsDists(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bfsDists(s: SparkSession, d: String): DataFrame = {
     val appId = s.sparkContext.applicationId
     bfsCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
       bfsCache.remove(k).foreach(df =>
@@ -107,7 +107,11 @@ object Queries50 {
           .select(col("node"), least(col("dist"), col("nd")).as("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
-        dist.unpersist(blocking = false)
+        // intermediates stay persisted: Dataset.unpersist is
+        // NON-cascading, and uncaching a subtree plan invalidates the
+        // final table's materialized buffers (measured: q250 re-ran
+        // its whole chain at 1.2 s per call after the unpersist; the
+        // five round tables total ~100 k tiny rows, a bounded cost)
         dist = next
       }
       dist

@@ -68,7 +68,7 @@ object Queries52 {
     * lists; the eval is 10-row broadcast algebra.
     */
   def q254(s: SparkSession, d: String): DataFrame = {
-    val sys = Queries10.q131(s, d)
+    val sys = Queries10.bm25Top20Cached(s, d)
       .withColumn("pos", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .filter(col("pos") <= 10)

@@ -56,7 +56,7 @@ object Queries56 {
     * ≤|sources|-row broadcast algebra.
     */
   def q265(s: SparkSession, d: String): DataFrame = {
-    val ranked = Queries10.q131(s, d)
+    val ranked = Queries10.bm25Top20Cached(s, d)
       .withColumn("pos", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .join(documents(s, d).select(col("doc_id"), col("source")),
