@@ -90,29 +90,28 @@ object Queries50 {
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
     }
     bfsCache.getOrElseUpdate(appId + "|" + d, {
+      // localCheckpoint, NOT persist: each round's table is read twice
+      // and the final table is read per bench pass, and a persisted
+      // plan keeps the ENTIRE join lineage alive — every later action
+      // then pays seconds of driver-side canonicalized-plan cache
+      // lookup against that tree (measured: 1.4 s per q250 call over a
+      // 20k-row cached table). Eager checkpoint truncates the logical
+      // plan to the materialized RDD, the q130 PageRank lesson.
       val e = Queries40.coOrderEdges(s, d)
       val seed = e.agg(min(col("u")).as("seed"))
       var dist = e.select(col("u").as("node")).distinct()
         .crossJoin(broadcast(seed))
         .select(col("node"),
           when(col("node") === col("seed"), 0L).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      dist.count()
+        .localCheckpoint()
       for (_ <- 1 to 4) {
         val reach = e.join(dist.filter(col("dist").isNotNull)
             .select(col("node").as("u"), col("dist").as("du")), Seq("u"))
           .groupBy(col("v").as("node"))
           .agg((min(col("du")) + 1).as("nd"))
-        val next = dist.join(reach, Seq("node"), "left")
+        dist = dist.join(reach, Seq("node"), "left")
           .select(col("node"), least(col("dist"), col("nd")).as("dist"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        // intermediates stay persisted: Dataset.unpersist is
-        // NON-cascading, and uncaching a subtree plan invalidates the
-        // final table's materialized buffers (measured: q250 re-ran
-        // its whole chain at 1.2 s per call after the unpersist; the
-        // five round tables total ~100 k tiny rows, a bounded cost)
-        dist = next
+          .localCheckpoint()
       }
       dist
     })

