@@ -116,11 +116,15 @@ object Queries10 {
     * TakeOrdered. Exactly two summands per doc, so IEEE addition
     * commutativity makes the double sum order-free.
     */
-  /** The q131 result, persisted once per (session, sf dir) for its
-    * CONSUMERS (q226 RRF, q254 NDCG, q265 exposure) — each was
-    * re-running the full BM25 chain (~0.9 s) per invocation. q131
-    * itself stays an end-to-end computation: the operator under the
-    * gate never reads its own cache.
+  /** The q131 result, materialized once per (session, sf dir) for
+    * its CONSUMERS (q226 RRF, q254 NDCG, q265 exposure) — each was
+    * re-running the full BM25 chain (~0.9 s) per invocation.
+    * localCheckpoint, NOT persist: a persisted entry registers q131's
+    * canonicalized plan in the CacheManager, and Spark then
+    * substitutes the cache into FRESH q131 invocations too (measured:
+    * the PlanSpec TakeOrdered assertion saw an InMemoryTableScan) —
+    * checkpoint truncation gives consumers a 20-row LogicalRDD while
+    * q131's own plan stays untouched end-to-end.
     */
   private val bm25Cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -130,12 +134,7 @@ object Queries10 {
       bm25Cache.remove(k).foreach(df =>
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
     }
-    bm25Cache.getOrElseUpdate(appId + "|" + d, {
-      val r = q131(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.count()
-      r
-    })
+    bm25Cache.getOrElseUpdate(appId + "|" + d, q131(s, d).localCheckpoint())
   }
 
   def q131(s: SparkSession, d: String): DataFrame = {
