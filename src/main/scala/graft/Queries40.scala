@@ -74,7 +74,7 @@ object Queries40 {
     * lineage recomputes the whole prefix 2^rounds times.
     */
   private val lpaCache = TrieMap.empty[String, DataFrame]
-  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
     val appId = s.sparkContext.applicationId
     lpaCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
       lpaCache.remove(k).foreach(df =>
@@ -168,7 +168,10 @@ object Queries40 {
   */
 object Oracle40 {
 
-  private def lpaSql(iters: Int): String = {
+  /** The LPA CTE prefix (edges + l0..l{iters} label tables), shared
+    * with q271's modularity oracle so the two labelings cannot drift.
+    */
+  private[graft] def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""m$k AS (SELECT node, lbl FROM (
          |    SELECT ed.v AS node, l.lbl, count(*) AS c
@@ -180,19 +183,22 @@ object Oracle40 {
          |  FROM l${k - 1} n LEFT JOIN m$k m ON n.node = m.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
        |ew AS (SELECT u, v FROM e0 GROUP BY u, v HAVING count(*) >= 2),
        |ed AS (SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
        |l0 AS (SELECT p_partkey AS node, p_partkey AS lbl FROM part),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def lpaSql(iters: Int): String =
+    s"""WITH ${lpaCtes(iters)}
        |SELECT lbl AS community, count(*) AS n_members,
        |  min(node) AS min_member
        |FROM l$iters GROUP BY lbl HAVING count(*) >= 2
        |ORDER BY n_members DESC, community""".stripMargin
-  }
 
   val sql: Map[String, String] = Map(
     "q222_label_prop" -> lpaSql(4),
