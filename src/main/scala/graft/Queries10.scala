@@ -126,16 +126,9 @@ object Queries10 {
     * checkpoint truncation gives consumers a 20-row LogicalRDD while
     * q131's own plan stays untouched end-to-end.
     */
-  private val bm25Cache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private[graft] def bm25Top20Cached(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    bm25Cache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      bm25Cache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    bm25Cache.getOrElseUpdate(appId + "|" + d, q131(s, d).localCheckpoint())
-  }
+  private val bm25Cache = new SessionCache
+  private[graft] def bm25Top20Cached(s: SparkSession, d: String): DataFrame =
+    bm25Cache.getOrCompute(s, d)(Materialize.truncate(q131(s, d)))
 
   def q131(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)

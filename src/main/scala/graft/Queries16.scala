@@ -143,10 +143,9 @@ object Queries16 {
     * the q102/q143 convention).
     */
   def q155(s: SparkSession, d: String): DataFrame = {
-    val wt = 20
-    val minRunTokens = 40
-    graft.operators.Dedup.dupSpans(documents(s, d), col("text"),
-        col("doc_id"), windowTokens = wt,
+    val wt = LshStages.WindowTokens
+    val minRunTokens = LshStages.MinRunTokens
+    graft.operators.Dedup.dupSpansFromWindows(LshStages.windowFps(s, d),
         minSpanWindows = minRunTokens - wt + 1)
       .select(col("a_id"), col("b_id"), col("n_aligned_windows"),
         col("max_span_windows"),

@@ -35,15 +35,15 @@ object Queries17 {
     */
   val MaxWindowDf = 8
 
-  private val WindowTokens = 20
-  private val MinRunTokens = 40
+  private val WindowTokens = LshStages.WindowTokens
+  private val MinRunTokens = LshStages.MinRunTokens
 
   /** q157 — CAPPED MAXIMAL RECYCLED SPANS (q155's pipeline with
-    * maxDf, same 20-token stride-1 windows / ≥40-token span gate).
+    * maxDf, same 20-token stride-1 windows / ≥40-token span gate;
+    * window rows from the shared LshStages.windowFps arm).
     */
   def q157(s: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.dupSpans(documents(s, d), col("text"),
-        col("doc_id"), windowTokens = WindowTokens,
+    graft.operators.Dedup.dupSpansFromWindows(LshStages.windowFps(s, d),
         minSpanWindows = MinRunTokens - WindowTokens + 1,
         maxDf = MaxWindowDf)
       .select(col("a_id"), col("b_id"), col("n_aligned_windows"),
@@ -55,8 +55,8 @@ object Queries17 {
     * from. One aggregate over the window rows; nothing quadratic.
     */
   def q158(s: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.windowDfProfile(documents(s, d), col("text"),
-      col("doc_id"), windowTokens = WindowTokens, maxDf = MaxWindowDf)
+    graft.operators.Dedup.windowDfProfileFromWindows(
+      LshStages.windowFps(s, d), maxDf = MaxWindowDf)
 
   /** q159 — QUANTILE-SKETCH CALIBRATION (the second
     * TypedImperativeAggregate, SketchAggregates.QuantileSketch). Per

@@ -1,10 +1,8 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Round-8 batch 4: community detection on the co-order graph and
   * per-user interval coverage (SURVEY §2.8 X132-X133).
@@ -17,14 +15,9 @@ object Queries40 {
     * recomputing the lineitem self-join per iteration would multiply
     * the dominant cost (the LshStages rationale).
     */
-  private val edgeCache = TrieMap.empty[String, DataFrame]
-  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    edgeCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      edgeCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    edgeCache.getOrElseUpdate(appId + "|" + d, {
+  private val edgeCache = new SessionCache
+  private[graft] def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.getOrCompute(s, d) {
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       // min-support 2: an edge needs ≥ 2 DISTINCT co-orders. Random
       // single co-occurrences are noise (and at sf0.1 they are 1.2M
@@ -44,10 +37,15 @@ object Queries40 {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("u"), col("v"))
+      // eager localCheckpoint, NOT persist: the edge list is referenced
+      // by q222/q243/q253/q271 many times per bench pass, and a
+      // persisted lineitem-self-join lineage makes every later action
+      // pay driver-side canonicalized-plan-cache lookups against that
+      // tree (the q250/q270 finding, VERDICT r8 #3) — truncation hands
+      // consumers a small LogicalRDD instead
       pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+        .transform(Materialize.truncate)
+    }
 
   /** q222 — LABEL-PROPAGATION COMMUNITIES (X132, 4 synchronous
     * iterations). Nodes are parts; edges connect parts appearing in
@@ -73,18 +71,12 @@ object Queries40 {
     * round k+1's plan (majority join + apply join) and the lazy
     * lineage recomputes the whole prefix 2^rounds times.
     */
-  private val lpaCache = TrieMap.empty[String, DataFrame]
-  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    lpaCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      lpaCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    lpaCache.getOrElseUpdate(appId + "|" + d, {
+  private val lpaCache = new SessionCache
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrCompute(s, d) {
       val edges = coOrderEdges(s, d)
       var labels = part(s, d)
         .select(col("p_partkey").as("node"), col("p_partkey").as("lbl"))
-      var prev: Option[DataFrame] = None
       for (_ <- 1 to 4) {
         // neighbor-majority label with (count desc, label asc)
         // tie-break as ONE aggregate: max(struct(c, -lbl)) orders
@@ -97,19 +89,18 @@ object Queries40 {
           .groupBy(col("v"))
           .agg(max(struct(col("c"), (-col("ulbl")).as("neg"))).as("m"))
           .select(col("v").as("node"), (-col("m.neg")).as("newlbl"))
-        val next = labels.join(top, Seq("node"), "left")
+        // eager localCheckpoint per round (NOT persist + count): each
+        // round is read twice by the next one, and a persisted 4-round
+        // join lineage costs seconds of driver-side canonicalized-plan
+        // cache lookup on EVERY later action over it — q271 paid 2.86 s
+        // per call on a 6k-row table (VERDICT r8 #3; the q250/q270 fix)
+        labels = labels.join(top, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("newlbl"), col("lbl")).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize NOW so the next round reads rows, not lineage
-        prev.foreach(p =>
-          try p.unpersist(blocking = false) catch { case _: Throwable => () })
-        prev = Some(next)
-        labels = next
+          .transform(Materialize.truncate)
       }
       labels
-    })
-  }
+    }
 
   def q222(s: SparkSession, d: String): DataFrame = {
     lpaLabels(s, d).groupBy(col("lbl").as("community"))

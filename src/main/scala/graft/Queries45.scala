@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,14 +18,9 @@ object Queries45 {
     * item counts, pair expansion) and lazy lineage re-ran the join +
     * distinct per reference.
     */
-  private val basketCache = TrieMap.empty[String, DataFrame]
-  private def baskets(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    basketCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      basketCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    basketCache.getOrElseUpdate(appId + "|" + d, {
+  private val basketCache = new SessionCache
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    basketCache.getOrCompute(s, d) {
       val b = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -35,20 +29,14 @@ object Queries45 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       b.count()
       b
-    })
-  }
+    }
 
   /** Distinct (customer, brand) matrix for q235 — same rationale:
     * read twice (item counts + pair expansion), persisted once.
     */
-  private val cbCache = TrieMap.empty[String, DataFrame]
-  private def custBrands(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    cbCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      cbCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    cbCache.getOrElseUpdate(appId + "|" + d, {
+  private val cbCache = new SessionCache
+  private def custBrands(s: SparkSession, d: String): DataFrame =
+    cbCache.getOrCompute(s, d) {
       val cb = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -64,8 +52,7 @@ object Queries45 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       cb.count()
       cb
-    })
-  }
+    }
 
   /** q234 — MARKET-BASKET ASSOCIATION RULES (X144). Directed rules
     * brand_a → brand_b over order baskets with relative support
@@ -175,11 +162,18 @@ object Queries45 {
       .join(broadcast(rowTot), Seq("event_type"))
       .join(broadcast(colTot), Seq("dow"))
       .crossJoin(broadcast(n))
+      // cast the OPERANDS to decimal(38,0) before the products — long
+      // o·n / rt·ct would wrap silently past ~3e9 events where DuckDB
+      // raises (ADVICE r8); decimal keeps both engines exact at any sf
       .withColumn("num",
-        (col("o") * col("n") - col("rt") * col("ct")).cast("decimal(38,0)"))
+        col("o").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+          - col("rt").cast("decimal(38,0)") * col("ct").cast("decimal(38,0)"))
+      // denominator multiplies as DOUBLE (cast each factor first): the
+      // long product n·rt·ct wraps at ~2e18 long before the cast would
       .withColumn("term",
         round((col("num") * col("num")).cast("double") /
-          (col("n") * col("rt") * col("ct")).cast("double"), 6)
+          (col("n").cast("double") * col("rt").cast("double") *
+            col("ct").cast("double")), 6)
           .cast("decimal(18,6)"))
     val perType = terms.groupBy(col("event_type"))
       .agg(sum(col("o")).as("n_events"),
@@ -274,10 +268,13 @@ object Oracle45 {
         |  FROM cells),
         |terms AS (SELECT cells.event_type, cells.o,
         |    CAST(round(
-        |      CAST(CAST(cells.o * n.n - rt.rt * ct.ct AS DECIMAL(38,0)) *
-        |           CAST(cells.o * n.n - rt.rt * ct.ct AS DECIMAL(38,0))
+        |      CAST((CAST(cells.o AS DECIMAL(38,0)) * CAST(n.n AS DECIMAL(38,0))
+        |            - CAST(rt.rt AS DECIMAL(38,0)) * CAST(ct.ct AS DECIMAL(38,0))) *
+        |           (CAST(cells.o AS DECIMAL(38,0)) * CAST(n.n AS DECIMAL(38,0))
+        |            - CAST(rt.rt AS DECIMAL(38,0)) * CAST(ct.ct AS DECIMAL(38,0)))
         |        AS DOUBLE) /
-        |      CAST(n.n * rt.rt * ct.ct AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      (CAST(n.n AS DOUBLE) * CAST(rt.rt AS DOUBLE) *
+        |       CAST(ct.ct AS DOUBLE)), 6) AS DECIMAL(18,6))
         |      AS term
         |  FROM cells
         |  JOIN rt USING (event_type)

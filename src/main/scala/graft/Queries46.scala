@@ -15,11 +15,15 @@ object Queries46 {
     * purchase per user in whole hours from the user's first event,
     * administratively right-censored at 48 h (the fixed cutoff is
     * what makes censoring REAL at every sf — raw delays are all
-    * observed). S(t) = Π_{t'≤t} (1 − d/n) (Kaplan & Meier 1958) with
-    * each factor rounded to 8dp double → decimal(18,8) and the
-    * running product folded in EXACT decimal with per-step 8dp
-    * rounding, so the recursion is bit-identical cross-engine (the
-    * q224 Holt argument); the oracle replays it as a recursive CTE.
+    * observed). S(t) = Π_{t'≤t} (1 − d/n) (Kaplan & Meier 1958) in
+    * 8dp FIXED-POINT: each factor is the integer floor
+    * ((n−d)·10⁸) div n and the running product refolds to the e8
+    * scale by integer division — no float and no round(double,·)
+    * anywhere in the recursion, so the curve is engine- AND
+    * libm-version-proof (round-8 driver gate: round(double,8) inside
+    * the fold diverged across DuckDB builds); the oracle replays the
+    * same integer fold as a recursive CTE. `surv` is the exact
+    * IEEE division surv_e8/10⁸ (both factors ≤ 2⁵³ — deterministic).
     *
     * Scale: one user_id shuffle for the per-user aggregate, a ≤49-row
     * hour-level aggregate (bounded by the 48 h cutoff grid, not the
@@ -52,15 +56,16 @@ object Queries46 {
         struct(col("t"), col("n_risk"), col("d")))).as("steps"))
       .withColumn("survs", expr(
         """slice(aggregate(steps,
-          |  array(CAST(1.0 AS DECIMAL(10,8))),
-          |  (acc, s) -> concat(acc, array(CAST(round(
-          |    element_at(acc, -1) *
-          |    CAST(round((s.n_risk - s.d) / CAST(s.n_risk AS DOUBLE), 8)
-          |      AS DECIMAL(18,8)), 8) AS DECIMAL(10,8))))),
+          |  array(CAST(100000000 AS BIGINT)),
+          |  (acc, s) -> concat(acc, array(
+          |    (element_at(acc, -1) *
+          |      (((s.n_risk - s.d) * 100000000) div s.n_risk))
+          |    div 100000000))),
           |2, size(steps))""".stripMargin))
       .select(explode(arrays_zip(col("steps"), col("survs"))).as("z"))
       .select(col("z.steps.t").as("t"), col("z.steps.n_risk").as("n_risk"),
-        col("z.steps.d").as("d"), col("z.survs").as("surv"))
+        col("z.steps.d").as("d"),
+        (col("z.survs").cast("double") / lit(100000000L)).as("surv"))
       .orderBy(col("t"))
   }
 
@@ -197,17 +202,19 @@ object Oracle46 {
         |  FROM byt),
         |r AS (
         |  SELECT rn, t, n_risk, d,
-        |    CAST(round(CAST(1.0 AS DECIMAL(10,8)) *
-        |      CAST(round((n_risk - d) / CAST(n_risk AS DOUBLE), 8)
-        |        AS DECIMAL(18,8)), 8) AS DECIMAL(10,8)) AS surv
+        |    CAST((CAST(100000000 AS BIGINT) *
+        |      (((n_risk - d) * 100000000) // n_risk)) // 100000000
+        |      AS BIGINT) AS surv_e8
         |  FROM base WHERE rn = 1
         |  UNION ALL
         |  SELECT b.rn, b.t, b.n_risk, b.d,
-        |    CAST(round(r.surv *
-        |      CAST(round((b.n_risk - b.d) / CAST(b.n_risk AS DOUBLE), 8)
-        |        AS DECIMAL(18,8)), 8) AS DECIMAL(10,8))
+        |    CAST((r.surv_e8 *
+        |      (((b.n_risk - b.d) * 100000000) // b.n_risk)) // 100000000
+        |      AS BIGINT)
         |  FROM r JOIN base b ON b.rn = r.rn + 1)
-        |SELECT t, n_risk, d, surv FROM r ORDER BY t""".stripMargin,
+        |SELECT t, n_risk, d,
+        |  CAST(surv_e8 AS DOUBLE) / 100000000 AS surv
+        |FROM r ORDER BY t""".stripMargin,
 
     "q238_ks_test" ->
       """WITH vals AS (

@@ -68,13 +68,17 @@ object Queries47 {
 
   /** q241 — PAIRED SIGN-FLIP PERMUTATION TEST (X151). Tests whether
     * click and error daily value totals differ: T = Σ_d s_d·Δ_d with
-    * Δ_d the decimal-exact per-day total difference and s_d = ±1.
-    * T_obs takes all s = +1; P = 499 deterministic sign assignments
-    * come from bit 16 of the shared LCG (low LCG bits cycle — never
-    * use parity of the raw draw). p = (1 + #{|T_p| ≥ |T_obs|})/(P+1)
-    * (Fisher randomization; Good 2000). EVERYTHING is exact decimal —
-    * the comparison |T_p| ≥ |T_obs| never touches a float, so the
-    * p-value is engine-proof by construction, not by rounding.
+    * Δ_d the per-day total difference and s_d = ±1. T_obs takes all
+    * s = +1; P = 499 deterministic sign assignments come from bit 16
+    * of the shared LCG (low LCG bits cycle — never use parity of the
+    * raw draw). p = (1 + #{|T_p| ≥ |T_obs|})/(P+1) (Fisher
+    * randomization; Good 2000). Each `value` is pinned to integer
+    * ten-thousandths by floor(value·10⁴) BEFORE summing — the IEEE
+    * multiply+floor is deterministic where double→DECIMAL(38,10)
+    * casts are engine-build-sensitive (the round-8 driver-gate
+    * lesson) — so every sum, Δ and the |T_p| ≥ |T_obs| comparison is
+    * exact BIGINT arithmetic; the only floats are the final exact
+    * e4→double divisions and the 4dp p-value.
     *
     * Scale: the permutation grid is P×|days| — calendar-bounded, like
     * q240; the fact table is read once into the per-day aggregate.
@@ -84,12 +88,12 @@ object Queries47 {
       .filter(col("event_type").isin("click", "error"))
       .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
       .agg((sum(when(col("event_type") === "click",
-        col("value").cast("decimal(38,10)")).otherwise(lit(null)))
+        floor(col("value") * lit(10000.0)).cast("long"))
+        .otherwise(lit(null)))
         - sum(when(col("event_type") === "error",
-          col("value").cast("decimal(38,10)")).otherwise(lit(null))))
-        .as("diff_raw"))
-      .select(col("day"),
-        round(col("diff_raw"), 4).cast("decimal(28,4)").as("diff"))
+          floor(col("value") * lit(10000.0)).cast("long"))
+          .otherwise(lit(null))))
+        .as("diff"))
     val tObs = diffs.agg(abs(sum(col("diff"))).as("t_obs"),
       count(lit(1)).as("n_days"))
     val perms = diffs
@@ -104,7 +108,8 @@ object Queries47 {
         sum(when(col("t_p") >= col("t_obs"), 1L).otherwise(0L))
           .as("n_extreme"))
       .crossJoin(broadcast(tObs))
-      .select(col("n_days"), col("n_perm"), col("t_obs"),
+      .select(col("n_days"), col("n_perm"),
+        (col("t_obs").cast("double") / lit(10000.0)).as("t_obs"),
         col("n_extreme"),
         round((col("n_extreme") + 1).cast("double") /
           (col("n_perm") + 1), 4).as("p_value"),
@@ -204,12 +209,11 @@ object Oracle47 {
     "q241_permutation_test" ->
       """WITH diffs AS (
         |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
-        |    CAST(round(
-        |      sum(CASE WHEN event_type = 'click'
-        |          THEN CAST("value" AS DECIMAL(38,10)) END) -
-        |      sum(CASE WHEN event_type = 'error'
-        |          THEN CAST("value" AS DECIMAL(38,10)) END), 4)
-        |      AS DECIMAL(28,4)) AS diff
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(floor("value" * 10000.0) AS BIGINT) END) -
+        |    sum(CASE WHEN event_type = 'error'
+        |        THEN CAST(floor("value" * 10000.0) AS BIGINT) END)
+        |      AS diff
         |  FROM events WHERE event_type IN ('click', 'error')
         |  GROUP BY 1),
         |t0 AS (SELECT abs(sum(diff)) AS t_obs, count(*) AS n_days
@@ -224,7 +228,8 @@ object Oracle47 {
         |    CAST(sum(CASE WHEN t_p >= (SELECT t_obs FROM t0)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
         |  FROM perms)
-        |SELECT t0.n_days, agg.n_perm, t0.t_obs, agg.n_extreme,
+        |SELECT t0.n_days, agg.n_perm,
+        |  CAST(t0.t_obs AS DOUBLE) / 10000.0 AS t_obs, agg.n_extreme,
         |  round(CAST(agg.n_extreme + 1 AS DOUBLE) / (agg.n_perm + 1), 4)
         |    AS p_value,
         |  CASE WHEN round(CAST(agg.n_extreme + 1 AS DOUBLE) /

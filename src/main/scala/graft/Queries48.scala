@@ -18,19 +18,41 @@ object Queries48 {
     * the classic "which products will be co-bought next"
     * recommendation primitive, and the link-prediction complement to
     * q112's triangle count / q222's communities on the same graph.
-    * Per-term 1/ln(deg) is 6dp-rounded into decimal and summed
-    * EXACTLY, so scores are order-independent; every common neighbor
-    * has deg ≥ 2 by construction (it touches both endpoints), so
-    * ln(deg) > 0 always.
+    * Per-term 1/ln(deg) comes from a Scala-computed LITERAL integer
+    * grid ⌊round(10⁶/ln g)⌉ for g ∈ 2..aaMaxDeg, spliced identically
+    * into the Spark plan and the DuckDB oracle (the q68 shared-
+    * weights move) — `ln` is not correctly rounded and differs
+    * across libm builds (the round-8 driver-gate lesson), so neither
+    * engine ever calls it; terms sum as exact BIGINT e6 and the
+    * score is the exact IEEE division e6/10⁶. Every common neighbor
+    * has deg ≥ 2 by construction (it touches both endpoints), so the
+    * grid starts at 2; aaMaxDeg = 2048 bounds the min-support-2
+    * co-order degree domain (measured max 13 at sf0.01, 6 at sf0.1 —
+    * two orders of magnitude of headroom).
     *
     * Scale: reuses q222's persisted min-support-pruned edge list (the
     * noise-pair argument lives there); the two-hop expansion is the
     * SAME bounded wedge join q112's triangles run; the degree table
     * is |parts|-bounded and broadcast.
     */
+  /** Degree-domain bound of the shared 1/ln(deg) literal grid. */
+  private[graft] val aaMaxDeg = 2048
+
+  /** ⌊round(10⁶/ln g)⌉ for g = 2..aaMaxDeg — ONE Scala computation
+    * feeds both engines, so no libm call exists in either plan.
+    */
+  private[graft] val aaWeightE6: IndexedSeq[Long] =
+    (2 to aaMaxDeg).map(g =>
+      BigDecimal(1.0 / math.log(g.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact)
+
   def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Queries40.coOrderEdges(s, d)
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wgrid = (2 to aaMaxDeg)
+      .map(g => (g.toLong, aaWeightE6(g - 2))).toDF("deg", "w_e6")
     val cand = e.select(col("u").as("a"), col("v").as("w"))
       .join(e.select(col("u").as("w"), col("v").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
@@ -38,15 +60,14 @@ object Queries48 {
       .select(col("u").as("a"), col("v").as("b"))
     cand.join(existing, Seq("a", "b"), "left_anti")
       .join(broadcast(deg.withColumnRenamed("u", "w")), Seq("w"))
-      .withColumn("term",
-        round(lit(1.0) / log(col("deg").cast("double")), 6)
-          .cast("decimal(18,6)"))
+      .join(broadcast(wgrid), Seq("deg"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("aa_score"))
-      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_e6")).as("aa_e6"))
+      .orderBy(col("aa_e6").desc, col("a"), col("b"))
       .limit(20)
       .select(col("a").as("part_a"), col("b").as("part_b"),
-        col("n_common"), col("aa_score"))
+        col("n_common"),
+        (col("aa_e6").cast("double") / lit(1000000.0)).as("aa_score"))
   }
 
   /** q244 — CROSS-VALIDATED DECISION STUMP (X154). 5-fold CV of
@@ -176,27 +197,34 @@ object Queries48 {
 object Oracle48 {
 
   val sql: Map[String, String] = Map(
-    "q243_adamic_adar" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |ew AS (SELECT u, v FROM e0 GROUP BY u, v HAVING count(*) >= 2),
-        |ed AS (SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
-        |deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
-        |cand AS (SELECT e1.u AS a, e2.v AS b, e1.v AS w
-        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
-        |  WHERE e1.u < e2.v),
-        |ne AS (SELECT c.a, c.b, c.w FROM cand c
-        |  LEFT JOIN ew ON ew.u = c.a AND ew.v = c.b
-        |  WHERE ew.u IS NULL),
-        |sc AS (SELECT a, b, count(*) AS n_common,
-        |    sum(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 6)
-        |      AS DECIMAL(18,6))) AS aa_score
-        |  FROM ne JOIN deg ON deg.u = ne.w
-        |  GROUP BY a, b)
-        |SELECT a AS part_a, b AS part_b, n_common, aa_score
-        |FROM sc ORDER BY aa_score DESC, a, b LIMIT 20""".stripMargin,
+    "q243_adamic_adar" -> {
+      // the SAME Scala-computed weight grid the Spark plan joins,
+      // spliced as a literal VALUES table — zero libm calls either side
+      val grid = (2 to Queries48.aaMaxDeg)
+        .map(g => s"($g,${Queries48.aaWeightE6(g - 2)})").mkString(",")
+      s"""WITH wg(deg, w_e6) AS (VALUES $grid),
+         |e0 AS (
+         |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |ew AS (SELECT u, v FROM e0 GROUP BY u, v HAVING count(*) >= 2),
+         |ed AS (SELECT u, v FROM ew UNION ALL SELECT v, u FROM ew),
+         |deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u),
+         |cand AS (SELECT e1.u AS a, e2.v AS b, e1.v AS w
+         |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+         |  WHERE e1.u < e2.v),
+         |ne AS (SELECT c.a, c.b, c.w FROM cand c
+         |  LEFT JOIN ew ON ew.u = c.a AND ew.v = c.b
+         |  WHERE ew.u IS NULL),
+         |sc AS (SELECT a, b, count(*) AS n_common,
+         |    CAST(sum(wg.w_e6) AS BIGINT) AS aa_e6
+         |  FROM ne JOIN deg ON deg.u = ne.w
+         |  JOIN wg ON wg.deg = deg.deg
+         |  GROUP BY a, b)
+         |SELECT a AS part_a, b AS part_b, n_common,
+         |  CAST(aa_e6 AS DOUBLE) / 1000000.0 AS aa_score
+         |FROM sc ORDER BY aa_e6 DESC, a, b LIMIT 20""".stripMargin
+    },
 
     "q244_cv_stump" ->
       """WITH cells AS (

@@ -40,6 +40,10 @@ object Queries49 {
       .select(col("dim"), (col("sx") / col("n")).as("mu"),
         (col("sxx") / col("n") -
           (col("sx") / col("n")) * (col("sx") / col("n"))).as("v"))
+      // a zero-variance dimension carries no outlier information and
+      // its term x/0 → Spark NaN/Inf vs DuckDB cast error (ADVICE r8)
+      // — drop it from the quadratic form on BOTH sides
+      .filter(col("v") > 0.0)
     xs.join(broadcast(moments), Seq("dim"))
       .withColumn("term",
         round((col("x") - col("mu")) * (col("x") - col("mu")) / col("v"), 6)
@@ -174,9 +178,10 @@ object Oracle49 {
         |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
         |  FROM x GROUP BY dim),
-        |mv AS (SELECT dim, sx / n AS mu,
-        |    sxx / n - (sx / n) * (sx / n) AS v
-        |  FROM m),
+        |mv AS (SELECT dim, mu, v FROM (
+        |    SELECT dim, sx / n AS mu,
+        |      sxx / n - (sx / n) * (sx / n) AS v
+        |    FROM m) z WHERE v > 0.0),
         |t AS (SELECT x.vec_id, x.label,
         |    CAST(round((x.x - mv.mu) * (x.x - mv.mu) / mv.v, 6)
         |      AS DECIMAL(18,6)) AS term

@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -82,14 +81,9 @@ object Queries50 {
     * 2^rounds lazy-lineage guard as q222's lpaLabels (each round
     * reads the previous one twice: frontier join + least()).
     */
-  private val bfsCache = TrieMap.empty[String, DataFrame]
-  private[graft] def bfsDists(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    bfsCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      bfsCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    bfsCache.getOrElseUpdate(appId + "|" + d, {
+  private val bfsCache = new SessionCache
+  private[graft] def bfsDists(s: SparkSession, d: String): DataFrame =
+    bfsCache.getOrCompute(s, d) {
       // localCheckpoint, NOT persist: each round's table is read twice
       // and the final table is read per bench pass, and a persisted
       // plan keeps the ENTIRE join lineage alive — every later action
@@ -103,7 +97,7 @@ object Queries50 {
         .crossJoin(broadcast(seed))
         .select(col("node"),
           when(col("node") === col("seed"), 0L).as("dist"))
-        .localCheckpoint()
+        .transform(Materialize.truncate)
       for (_ <- 1 to 4) {
         val reach = e.join(dist.filter(col("dist").isNotNull)
             .select(col("node").as("u"), col("dist").as("du")), Seq("u"))
@@ -111,11 +105,10 @@ object Queries50 {
           .agg((min(col("du")) + 1).as("nd"))
         dist = dist.join(reach, Seq("node"), "left")
           .select(col("node"), least(col("dist"), col("nd")).as("dist"))
-          .localCheckpoint()
+          .transform(Materialize.truncate)
       }
       dist
-    })
-  }
+    }
 
   /** q250 — BFS REACHABILITY HISTOGRAM (X160, 4 synchronous rounds).
     * Hop-distance distribution from the smallest part key over the

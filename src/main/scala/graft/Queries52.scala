@@ -60,13 +60,31 @@ object Queries52 {
     * arm (q29's top-10: rel = 11 − cosine-rank, 0 otherwise) —
     * the standard ranking-quality metric (Järvelin & Kekäläinen
     * 2002) completing the eval family (q213 AUC, q214 lift, q187
-    * confusion, q199 recall). Per-position gains rel/log₂(pos+1) are
-    * 6dp-rounded into decimal and summed EXACTLY; IDCG is the same
-    * sum over the ideal grid.
+    * confusion, q199 recall). The position discounts 1/log₂(pos+1)
+    * are a Scala-computed LITERAL e6 grid shared with the oracle
+    * (the q68/q243 move — log₂ is a libm call that diverged across
+    * DuckDB builds at the round-8 driver gate), gains rel·ilog_e6
+    * and DCG sum as exact BIGINTs, IDCG is a Scala-folded constant,
+    * and NDCG is the integer floor (dcg_e6·10⁴) div idcg_e6 — the
+    * whole metric is float-free until the final exact e-scale →
+    * double divisions.
     *
     * Scale: both arms are independently gate-checked TakeOrdered
     * lists; the eval is 10-row broadcast algebra.
     */
+  /** ⌊round(10⁶/log₂(p+1))⌉ for p = 1..10 — one Scala computation
+    * feeds both engines.
+    */
+  private[graft] val ndcgIlogE6: IndexedSeq[Long] =
+    (1 to 10).map(p =>
+      BigDecimal(math.log(2.0) / math.log(p + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact)
+
+  /** IDCG@10 at the e6 scale for the graded ladder rel = 11−j. */
+  private[graft] val ndcgIdcgE6: Long =
+    (1 to 10).map(j => (11 - j) * ndcgIlogE6(j - 1)).sum
+
   def q254(s: SparkSession, d: String): DataFrame = {
     val sys = Queries10.bm25Top20Cached(s, d)
       .withColumn("pos", row_number().over(
@@ -78,27 +96,22 @@ object Queries52 {
         Window.orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("crank") <= 10)
       .select(col("vec_id").as("doc_id"), (lit(11) - col("crank")).as("rel"))
+    val ilog = (1 to 10).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("pos") === p, lit(ndcgIlogE6(p - 1))).otherwise(acc)
+    }
     val gains = sys.join(broadcast(truth), Seq("doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
-      .withColumn("gain",
-        round(col("rel").cast("double") /
-          log(2.0, col("pos").cast("double") + 1.0), 6)
-          .cast("decimal(18,6)"))
-    val dcg = gains.agg(sum(col("gain")).as("dcg"),
+      .withColumn("gain_e6", col("rel").cast("long") * ilog)
+    val dcg = gains.agg(sum(col("gain_e6")).as("dcg_e6"),
       sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_overlap"))
-    val idcg = s.range(1, 11).toDF("j")
-      .select(round((lit(11) - col("j")).cast("double") /
-        log(2.0, col("j").cast("double") + 1.0), 6)
-        .cast("decimal(18,6)").as("g"))
-      .agg(sum(col("g")).as("idcg"))
-    gains.select(col("pos"), col("doc_id"), col("rel"), col("gain"))
+    gains.select(col("pos"), col("doc_id"), col("rel"), col("gain_e6"))
       .crossJoin(broadcast(dcg))
-      .crossJoin(broadcast(idcg))
-      .select(col("pos"), col("doc_id"), col("rel"), col("gain"),
+      .select(col("pos"), col("doc_id"), col("rel"),
+        (col("gain_e6").cast("double") / lit(1000000.0)).as("gain"),
         col("n_overlap"),
-        round(col("dcg").cast("double"), 4).as("dcg"),
-        round(col("dcg").cast("double") / col("idcg").cast("double"), 4)
-          .as("ndcg"))
+        (col("dcg_e6").cast("double") / lit(1000000.0)).as("dcg"),
+        (expr(s"(dcg_e6 * 10000) div ${ndcgIdcgE6}").cast("double") /
+          lit(10000.0)).as("ndcg"))
       .orderBy(col("pos"))
   }
 
@@ -120,11 +133,15 @@ object Queries52 {
     * value matrix into row effects + column effects + residuals by
     * alternately sweeping out row and column medians (Tukey 1977;
     * the robust alternative to two-way ANOVA means, immune to the
-    * single weird cell). The 5×7 matrix has odd rows AND odd
-    * columns, so every median is an EXACT decimal rank pick and
-    * every subtraction is exact decimal — the whole decomposition is
-    * float-free. Two sweeps declared (plan + oracle stay static, the
-    * q224 argument); effects accumulate across sweeps.
+    * single weird cell). Cell totals are pinned to integer
+    * ten-thousandths by floor(value·10⁴) BEFORE summing (the q241
+    * move — double→decimal casts proved engine-build-sensitive at
+    * the round-8 driver gate); the 5×7 matrix has odd rows AND odd
+    * columns, so every median is an EXACT BIGINT rank pick and every
+    * subtraction exact BIGINT — the whole decomposition is
+    * float-free until the final exact e4 → double divisions. Two
+    * sweeps declared (plan + oracle stay static, the q224 argument);
+    * effects accumulate across sweeps.
     *
     * Scale: one fact-table pass into the 35-cell aggregate;
     * everything after is window algebra on ≤35 rows.
@@ -134,8 +151,7 @@ object Queries52 {
       .filter(col("event_type").isNotNull)
       .groupBy(col("event_type"),
         expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
-      .agg(round(sum(col("value").cast("decimal(38,10)")), 4)
-        .cast("decimal(28,4)").as("v"))
+      .agg(sum(floor(col("value") * lit(10000.0)).cast("long")).as("v"))
     // sweep 1: rows then columns
     val rm1 = medianBy(cells, "event_type", "v", "dow", "rm1")
     val c1 = cells.join(broadcast(rm1), Seq("event_type"))
@@ -152,10 +168,14 @@ object Queries52 {
     val cm2 = medianBy(c3.select(col("dow"), col("v3"), col("event_type")),
       "dow", "v3", "event_type", "cm2")
     c3.join(broadcast(cm2), Seq("dow"))
-      .select(col("event_type"), col("dow"), col("v"),
-        (col("rm1") + col("rm2")).as("row_effect"),
-        (col("cm1") + col("cm2")).as("col_effect"),
-        (col("v3") - col("cm2")).as("residual"))
+      .select(col("event_type"), col("dow"),
+        (col("v").cast("double") / lit(10000.0)).as("v"),
+        ((col("rm1") + col("rm2")).cast("double") / lit(10000.0))
+          .as("row_effect"),
+        ((col("cm1") + col("cm2")).cast("double") / lit(10000.0))
+          .as("col_effect"),
+        ((col("v3") - col("cm2")).cast("double") / lit(10000.0))
+          .as("residual"))
       .orderBy(col("event_type"), col("dow"))
   }
 
@@ -212,8 +232,13 @@ object Oracle52 {
         |    ELSE 'neutral' END AS verdict
         |FROM mm, nn""".stripMargin,
 
-    "q254_ndcg_eval" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    "q254_ndcg_eval" -> {
+      // the SAME Scala-computed discount grid + IDCG constant the
+      // Spark plan uses (Queries52.ndcgIlogE6/ndcgIdcgE6)
+      val grid = (1 to 10)
+        .map(p => s"($p,${Queries52.ndcgIlogE6(p - 1)})").mkString(",")
+      s"""WITH il(pos, e6) AS (VALUES $grid),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |    FROM documents),
         |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -251,29 +276,28 @@ object Oracle52 {
         |  FROM cos),
         |gains AS (SELECT s.pos, s.doc_id,
         |    CAST(coalesce(t.rel, 0) AS INT) AS rel,
-        |    CAST(round(CAST(coalesce(t.rel, 0) AS DOUBLE) /
-        |      log2(CAST(s.pos AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
-        |      AS gain
-        |  FROM sys s LEFT JOIN truth t USING (doc_id)),
-        |dcg AS (SELECT sum(gain) AS dcg,
+        |    CAST(coalesce(t.rel, 0) * il.e6 AS BIGINT) AS gain_e6
+        |  FROM sys s LEFT JOIN truth t USING (doc_id)
+        |  JOIN il ON il.pos = s.pos),
+        |dcg AS (SELECT CAST(sum(gain_e6) AS BIGINT) AS dcg_e6,
         |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_overlap
-        |  FROM gains),
-        |idcg AS (SELECT sum(CAST(round(CAST(11 - j AS DOUBLE) /
-        |      log2(CAST(j AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))) AS idcg
-        |  FROM (SELECT unnest(range(1, 11)) AS j))
-        |SELECT g.pos, g.doc_id, g.rel, g.gain, d.n_overlap,
-        |  round(CAST(d.dcg AS DOUBLE), 4) AS dcg,
-        |  round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg
-        |FROM gains g, dcg d, idcg i
-        |ORDER BY g.pos""".stripMargin,
+        |  FROM gains)
+        |SELECT g.pos, g.doc_id, g.rel,
+        |  CAST(g.gain_e6 AS DOUBLE) / 1000000.0 AS gain, d.n_overlap,
+        |  CAST(d.dcg_e6 AS DOUBLE) / 1000000.0 AS dcg,
+        |  CAST((d.dcg_e6 * 10000) // ${Queries52.ndcgIdcgE6} AS DOUBLE)
+        |    / 10000.0 AS ndcg
+        |FROM gains g, dcg d
+        |ORDER BY g.pos""".stripMargin
+    },
 
     "q255_median_polish" ->
       """WITH cells AS (
         |  SELECT event_type,
         |    ((epoch_ns(ts) // 1000) // 86400000000) % 7 AS dow,
-        |    CAST(round(sum(CAST("value" AS DECIMAL(38,10))), 4)
-        |      AS DECIMAL(28,4)) AS v
+        |    CAST(sum(CAST(floor("value" * 10000.0) AS BIGINT)) AS BIGINT)
+        |      AS v
         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
         |rm1 AS (SELECT event_type, v AS rm1 FROM (
         |    SELECT event_type, v, dow,
@@ -305,10 +329,11 @@ object Oracle52 {
         |        AS rn,
         |      count(*) OVER (PARTITION BY dow) AS n
         |    FROM c3) z WHERE rn = (n + 1) // 2)
-        |SELECT c.event_type, c.dow, c.v,
-        |  c.rm1 + c.rm2 AS row_effect,
-        |  c.cm1 + m.cm2 AS col_effect,
-        |  c.v3 - m.cm2 AS residual
+        |SELECT c.event_type, c.dow,
+        |  CAST(c.v AS DOUBLE) / 10000.0 AS v,
+        |  CAST(c.rm1 + c.rm2 AS DOUBLE) / 10000.0 AS row_effect,
+        |  CAST(c.cm1 + m.cm2 AS DOUBLE) / 10000.0 AS col_effect,
+        |  CAST(c.v3 - m.cm2 AS DOUBLE) / 10000.0 AS residual
         |FROM c3 c JOIN cm2 m USING (dow)
         |ORDER BY c.event_type, c.dow""".stripMargin)
 }

@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -16,11 +15,15 @@ object Queries58 {
     * hub(c), hub(c) = Σ_p authority(p), L1-normalized each half-step
     * — "big buyers confer importance on what they buy" — the
     * link-analysis complement to q130's PageRank (flat random walk)
-    * and q243's Adamic-Adar (local overlap). Every normalization
-    * quotient is cast to double for ONE division then 8dp-rounded
-    * back into decimal, so the iteration state is bit-identical
-    * cross-engine (the q224 convention); fixed iterations keep the
-    * plan static and the oracle unrollable (q130/q222 argument).
+    * and q243's Adamic-Adar (local overlap). Scores are 8dp
+    * FIXED-POINT BIGINTs: each L1 normalization is the integer floor
+    * (x·10⁸) div Σx — no float division and no round(double,8)
+    * anywhere in the iteration (round-of-double inside a compounding
+    * recursion proved engine-build-sensitive at the round-8 driver
+    * gate, the q237 lesson) — so the state is integer-identical
+    * cross-engine; fixed iterations keep the plan static and the
+    * oracle unrollable (q130/q222 argument). `authority` is the
+    * exact IEEE division a_e8/10⁸.
     *
     * Scale: per half-step ONE aggregate over the distinct (c, p)
     * edge list + a 1-row broadcast norm; scores live on the node
@@ -32,14 +35,9 @@ object Queries58 {
     * lineitem⋈orders distinct re-ran per reference (measured 3.25 s
     * → the worst query in the 270-query bench).
     */
-  private val edgeCache = TrieMap.empty[String, DataFrame]
-  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    edgeCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      edgeCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    edgeCache.getOrElseUpdate(appId + "|" + d, {
+  private val edgeCache = new SessionCache
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.getOrCompute(s, d) {
       val e = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"))),
@@ -49,8 +47,7 @@ object Queries58 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       e
-    })
-  }
+    }
 
   /** The final authority table, materialized once per (session,
     * sf dir). EVERY level is referenced twice (its own L1-norm
@@ -61,14 +58,9 @@ object Queries58 {
     * is the cost; the q222 lpaLabels lesson). Each level is a
     * ≤|nodes|-row table.
     */
-  private val hitsCache = TrieMap.empty[String, DataFrame]
-  private[graft] def authorities(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    hitsCache.keys.filterNot(_.startsWith(appId + "|")).foreach { k =>
-      hitsCache.remove(k).foreach(df =>
-        try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
-    hitsCache.getOrElseUpdate(appId + "|" + d, {
+  private val hitsCache = new SessionCache
+  private[graft] def authorities(s: SparkSession, d: String): DataFrame =
+    hitsCache.getOrCompute(s, d) {
       // localCheckpoint, NOT persist, at every level: each level is
       // read twice (its own L1-norm total + the next half-step's
       // join) — without truncation the lazy lineage re-evaluates the
@@ -77,17 +69,16 @@ object Queries58 {
       // seconds of canonicalized cache lookup (the q250 finding)
       val edges = bipartiteEdges(s, d)
       def l1Norm(df: DataFrame, v: String): DataFrame = {
-        val in = df.localCheckpoint()
+        val in = Materialize.truncate(df)
         val tot = in.agg(sum(col(v)).as("tot"))
         in.crossJoin(broadcast(tot))
           .select(in.columns.filter(_ != v).map(col) :+
-            round(col(v).cast("double") / col("tot").cast("double"), 8)
-              .cast("decimal(12,8)").as(v): _*)
-          .localCheckpoint()
+            expr(s"($v * 100000000) div tot").as(v): _*)
+          .transform(Materialize.truncate)
       }
-      // h0 = uniform over customers (normalized constant 1)
+      // h0 = uniform over customers (raw weight 1 → e8 div n each)
       val h0 = l1Norm(edges.select(col("c")).distinct()
-        .withColumn("h", lit(1L).cast("decimal(12,8)")), "h")
+        .withColumn("h", lit(1L)), "h")
       // a1 ∝ Σ_c h0(c); h1 ∝ Σ_p a1(p); a2 ∝ Σ_c h1(c)
       val a1 = l1Norm(edges.join(h0, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
@@ -95,12 +86,12 @@ object Queries58 {
         .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
       l1Norm(edges.join(h1, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h")).as("a")), "a")
-    })
-  }
+    }
 
   def q270(s: SparkSession, d: String): DataFrame =
     authorities(s, d).orderBy(col("a").desc, col("p")).limit(10)
-      .select(col("p").as("part"), col("a").as("authority"))
+      .select(col("p").as("part"),
+        (col("a").cast("double") / lit(100000000L)).as("authority"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_hits_authorities" -> (q270 _))
@@ -118,26 +109,23 @@ object Oracle58 {
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |h0r AS (SELECT DISTINCT c FROM e),
         |h0n AS (SELECT count(*) AS tot FROM h0r),
-        |h0 AS (SELECT c, CAST(round(1.0 / (SELECT tot FROM h0n), 8)
-        |    AS DECIMAL(12,8)) AS h FROM h0r),
-        |a1r AS (SELECT e.p, sum(h0.h) AS a FROM e JOIN h0 USING (c)
-        |  GROUP BY e.p),
-        |a1n AS (SELECT sum(a) AS tot FROM a1r),
-        |a1 AS (SELECT p, CAST(round(CAST(a AS DOUBLE) /
-        |    CAST((SELECT tot FROM a1n) AS DOUBLE), 8) AS DECIMAL(12,8))
-        |    AS a FROM a1r),
-        |h1r AS (SELECT e.c, sum(a1.a) AS h FROM e JOIN a1 USING (p)
-        |  GROUP BY e.c),
-        |h1n AS (SELECT sum(h) AS tot FROM h1r),
-        |h1 AS (SELECT c, CAST(round(CAST(h AS DOUBLE) /
-        |    CAST((SELECT tot FROM h1n) AS DOUBLE), 8) AS DECIMAL(12,8))
-        |    AS h FROM h1r),
-        |a2r AS (SELECT e.p, sum(h1.h) AS a FROM e JOIN h1 USING (c)
-        |  GROUP BY e.p),
-        |a2n AS (SELECT sum(a) AS tot FROM a2r),
-        |a2 AS (SELECT p, CAST(round(CAST(a AS DOUBLE) /
-        |    CAST((SELECT tot FROM a2n) AS DOUBLE), 8) AS DECIMAL(12,8))
-        |    AS a FROM a2r)
-        |SELECT p AS part, a AS authority FROM a2
-        |ORDER BY authority DESC, p LIMIT 10""".stripMargin)
+        |h0 AS (SELECT c, CAST((1 * 100000000) // (SELECT tot FROM h0n)
+        |    AS BIGINT) AS h FROM h0r),
+        |a1r AS (SELECT e.p, CAST(sum(h0.h) AS BIGINT) AS a
+        |  FROM e JOIN h0 USING (c) GROUP BY e.p),
+        |a1n AS (SELECT CAST(sum(a) AS BIGINT) AS tot FROM a1r),
+        |a1 AS (SELECT p, CAST((a * 100000000) //
+        |    (SELECT tot FROM a1n) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT e.c, CAST(sum(a1.a) AS BIGINT) AS h
+        |  FROM e JOIN a1 USING (p) GROUP BY e.c),
+        |h1n AS (SELECT CAST(sum(h) AS BIGINT) AS tot FROM h1r),
+        |h1 AS (SELECT c, CAST((h * 100000000) //
+        |    (SELECT tot FROM h1n) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS a
+        |  FROM e JOIN h1 USING (c) GROUP BY e.p),
+        |a2n AS (SELECT CAST(sum(a) AS BIGINT) AS tot FROM a2r),
+        |a2 AS (SELECT p, CAST((a * 100000000) //
+        |    (SELECT tot FROM a2n) AS BIGINT) AS a FROM a2r)
+        |SELECT p AS part, CAST(a AS DOUBLE) / 100000000 AS authority
+        |FROM a2 ORDER BY a DESC, p LIMIT 10""".stripMargin)
 }

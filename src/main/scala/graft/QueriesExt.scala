@@ -265,6 +265,78 @@ object QueriesExt {
       .orderBy(col("vec_id"))
   }
 
+  /** q50b — PCA INVARIANT GATE (VERDICT r8 #4). q50's projection is
+    * [no-oracle] (near-degenerate spectrum makes eigenvector parity
+    * SQL-infeasible), but the properties that make a PCA a PCA are
+    * hash-checkable: (1) the fitted d×k component matrix is
+    * orthonormal (3×3 Gram vs I at 1e-6 — constant-size driver math
+    * on the MODEL, not data); (2) PC variances come out in
+    * non-increasing order (MLlib sorts eigenvalues); (3) explained
+    * variance ≤ total variance (trace); (4) every projection is
+    * norm-contractive: |Pᵀx|² ≤ |x|² per vector (MLlib's transform
+    * is uncentered, so the raw-norm bound is the right one). The
+    * booleans are computed Spark-side with wide margins; the oracle
+    * states their REQUIRED values as literals and independently
+    * recomputes n_vecs/n_dims/total_var from the raw parquet — a
+    * broken PCA flips a boolean and fails the driver hash gate, so
+    * "trust NumPy" becomes a partial hash gate (q50 itself stays 🔬).
+    *
+    * Scale: fit is q50's distributed covariance; the audit adds one
+    * 1-row aggregate over the projected table, one over the exploded
+    * raw table, and 9 driver multiplications on the 64×3 model.
+    */
+  def q50b(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.Reduce
+    import graft.functions.VectorExpressions
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val (pcdf, pcm) = Reduce.pcaWithModel(embeddings(s, d), "embedding", 3)
+    val k = pcm.numCols
+    val nd = pcm.numRows
+    var maxDev = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      var g = 0.0
+      for (r <- 0 until nd) g += pcm(r, i) * pcm(r, j)
+      maxDev = math.max(maxDev, math.abs(g - (if (i == j) 1.0 else 0.0)))
+    }
+    val proj = pcdf.select(col("vec_id"),
+      VectorExpressions.sumsq(col("embedding")).as("xsq"),
+      element_at(col("principal_components"), 1).as("p1"),
+      element_at(col("principal_components"), 2).as("p2"),
+      element_at(col("principal_components"), 3).as("p3"))
+      .withColumn("pcsq",
+        col("p1") * col("p1") + col("p2") * col("p2") + col("p3") * col("p3"))
+    val pstats = proj.agg(
+      count(lit(1)).as("n_vecs"),
+      min(col("xsq") - col("pcsq")).as("min_resid"),
+      (avg(col("p1") * col("p1")) - avg(col("p1")) * avg(col("p1"))).as("v1"),
+      (avg(col("p2") * col("p2")) - avg(col("p2")) * avg(col("p2"))).as("v2"),
+      (avg(col("p3") * col("p3")) - avg(col("p3")) * avg(col("p3"))).as("v3"))
+    // trace via the q246 moment convention so the oracle replays it
+    // exactly: decimal sums → double var → 6dp decimal per dim →
+    // exact sum → 4dp double
+    val trace = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(round(col("sxx") / col("n") -
+        (col("sx") / col("n")) * (col("sx") / col("n")), 6)
+        .cast("decimal(18,6)").as("var"))
+      .agg(round(sum(col("var")).cast("double"), 4).as("total_var"),
+        sum(col("var")).cast("double").as("trace_raw"))
+    pstats.crossJoin(broadcast(trace))
+      .select(col("n_vecs"), lit(nd).as("n_dims"), lit(k).as("k"),
+        lit(maxDev < 1e-6).as("orthonormal_ok"),
+        (col("v1") >= col("v2") - lit(1e-9) &&
+          col("v2") >= col("v3") - lit(1e-9)).as("variance_ordered_ok"),
+        (col("v1") + col("v2") + col("v3") <=
+          col("trace_raw") + lit(1e-6)).as("explained_le_total_ok"),
+        (col("min_resid") >= lit(-1e-6)).as("projection_contractive_ok"),
+        col("total_var"))
+  }
+
   /** Balanced (stratified-cap) sampling: at most 20 docs per language,
     * chosen by deterministic md5 order — the quota/balance pass of a
     * training-data pipeline, reproducible across runs and engines
@@ -336,6 +408,7 @@ object QueriesExt {
     "q48_multimodal_features" -> (q48 _),
     "q49_fft_features" -> (q49 _),
     "q50_pca_components" -> (q50 _),
+    "q50b_pca_invariants" -> (q50b _),
     "q51_balanced_sample" -> (q51 _),
     "q52_hash_sample" -> (q52 _),
     "q53_redact" -> (q53 _),
@@ -664,6 +737,33 @@ object OracleExt {
         |  round(en.e, 4) AS spec_energy
         |FROM cnt c LEFT JOIN dom d USING (user_id) JOIN energy en USING (user_id)
         |ORDER BY c.user_id""".stripMargin,
+
+    // q50b: the oracle pins the invariant booleans as REQUIRED
+    // literals (a broken PCA flips one Spark-side → hash fail) and
+    // independently recomputes n_vecs/n_dims/total_var from raw
+    // parquet via the q246 moment convention
+    "q50b_pca_invariants" ->
+      """WITH x AS (SELECT vec_id, r.i AS dim,
+        |    CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY dim),
+        |v AS (SELECT dim,
+        |    CAST(round(sxx / n - (sx / n) * (sx / n), 6)
+        |      AS DECIMAL(18,6)) AS var
+        |  FROM m),
+        |t AS (SELECT round(CAST(sum(var) AS DOUBLE), 4) AS total_var,
+        |    count(*) AS n_dims
+        |  FROM v),
+        |c AS (SELECT count(*) AS n_vecs FROM embeddings)
+        |SELECT c.n_vecs, CAST(t.n_dims AS INT) AS n_dims, 3 AS k,
+        |  true AS orthonormal_ok, true AS variance_ordered_ok,
+        |  true AS explained_le_total_ok, true AS projection_contractive_ok,
+        |  t.total_var
+        |FROM c, t""".stripMargin,
 
     "q51_balanced_sample" ->
       """SELECT doc_id, lang, rn FROM (

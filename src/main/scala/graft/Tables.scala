@@ -25,10 +25,18 @@ object Tables {
     * concurrent runs against the same sf dir never collide — the one
     * path-construction convention, shared by every writer.
     */
+  /** Per-INVOCATION scratch dir: the pid keeps concurrent suites
+    * (separate JVMs) apart, the counter keeps concurrent invocations
+    * in the SAME JVM apart — keyed by (tag, dir, pid) alone, two
+    * parallel calls raced on the overwrite-then-read of one directory
+    * (ADVICE r8). Call sites capture the returned path once, so the
+    * write and read of a single invocation always agree.
+    */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] def scratchDir(tag: String, d: String): String =
     s"/root/repo/target/roundtrip/${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
-      ProcessHandle.current().pid()
+      ProcessHandle.current().pid() + "_c" + scratchSeq.incrementAndGet()
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -18,14 +18,23 @@ import org.apache.spark.sql.functions._
 object Reduce {
 
   /** Fit PCA(k) on `arrayCol` and append `principal_components`. */
-  def pca(df: DataFrame, arrayCol: String, k: Int): DataFrame = {
+  def pca(df: DataFrame, arrayCol: String, k: Int): DataFrame =
+    pcaWithModel(df, arrayCol, k)._1
+
+  /** Like [[pca]] but also returns the fitted d×k principal-component
+    * matrix (columns = components) — q50b's invariant gate checks its
+    * orthonormality, which the projected data alone cannot expose.
+    */
+  def pcaWithModel(df: DataFrame, arrayCol: String,
+      k: Int): (DataFrame, org.apache.spark.ml.linalg.DenseMatrix) = {
     val withVec = df.withColumn("__vec",
       array_to_vector(col(arrayCol).cast("array<double>")))
     val model = new PCA().setK(k)
       .setInputCol("__vec").setOutputCol("__pc")
       .fit(withVec)
-    model.transform(withVec)
+    val out = model.transform(withVec)
       .withColumn("principal_components", vector_to_array(col("__pc")))
       .drop("__vec", "__pc")
+    (out, model.pc)
   }
 }

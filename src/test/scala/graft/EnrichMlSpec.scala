@@ -112,4 +112,16 @@ class EnrichMlSpec extends SparkSpec {
       variance(element_at($"principal_components", 3)).as("v3")).head()
     assert(stats.getDouble(0) >= stats.getDouble(1))
   }
+
+  test("q50b: every PCA invariant boolean holds and the metadata is exact") {
+    val r = SparkEntry.queries("q50b_pca_invariants")(spark, sf).head()
+    assert(r.getAs[Boolean]("orthonormal_ok"))
+    assert(r.getAs[Boolean]("variance_ordered_ok"))
+    assert(r.getAs[Boolean]("explained_le_total_ok"))
+    assert(r.getAs[Boolean]("projection_contractive_ok"))
+    assert(r.getAs[Long]("n_vecs") ==
+      Tables.embeddings(spark, sf).count())
+    assert(r.getAs[Int]("n_dims") > 0 && r.getAs[Int]("k") == 3)
+    assert(r.getAs[Double]("total_var") > 0.0)
+  }
 }

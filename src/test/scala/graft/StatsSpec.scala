@@ -82,25 +82,24 @@ class StatsSpec extends SparkSpec {
 
   // ---- Kaplan-Meier -----------------------------------------------
 
-  test("q237: KM curve is monotone, bounded, and exactly replays a BigDecimal fold") {
+  test("q237: KM curve is monotone, bounded, and exactly replays the e8 integer fold") {
     val rows = q("q237_kaplan_meier").collect().sortBy(_.getAs[Long]("t"))
     assert(rows.nonEmpty)
     // monotone non-increasing survival and risk set
-    val survs = rows.map(r => new JBig(r.getAs[java.math.BigDecimal]("surv").toString))
+    val survs = rows.map(_.getAs[Double]("surv"))
     survs.sliding(2).foreach { case Array(a, b) =>
-      assert(b.compareTo(a) <= 0, s"surv increased $a -> $b")
+      assert(b <= a, s"surv increased $a -> $b")
     }
     val risks = rows.map(_.getAs[Long]("n_risk"))
     risks.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
-    // independent replay: round8(S * round8((n-d)/n))
-    var s8 = new JBig("1.00000000")
+    // independent replay of the fixed-point fold:
+    // s_e8 ← (s_e8 · ((n−d)·10⁸ div n)) div 10⁸
+    var s8 = 100000000L
     rows.foreach { r =>
       val n = r.getAs[Long]("n_risk"); val d = r.getAs[Long]("d")
-      val f = new JBig((n - d).toDouble / n.toDouble, MathContext.DECIMAL64)
-        .setScale(8, RoundingMode.HALF_UP)
-      s8 = s8.multiply(f).setScale(8, RoundingMode.HALF_UP)
-      val got = r.getAs[java.math.BigDecimal]("surv")
-      assert(got.compareTo(s8) == 0, s"t=${r.getAs[Long]("t")}: $got != $s8")
+      s8 = s8 * (((n - d) * 100000000L) / n) / 100000000L
+      val got = r.getAs[Double]("surv")
+      assert(got == s8.toDouble / 1e8, s"t=${r.getAs[Long]("t")}: $got != $s8")
     }
   }
 
@@ -226,13 +225,13 @@ class StatsSpec extends SparkSpec {
   test("q270: authorities are a normalized distribution over parts") {
     val top = q("q270_hits_authorities").collect()
     assert(top.length == 10)
-    val as = top.map(_.getAs[java.math.BigDecimal]("authority"))
+    val as = top.map(_.getAs[Double]("authority"))
     as.sliding(2).foreach {
-      case Array(a, b) => assert(b.compareTo(a) <= 0); case _ => ()
+      case Array(a, b) => assert(b <= a); case _ => ()
     }
-    assert(as.forall(_.signum > 0))
-    // top-10 of an L1-normalized vector can't exceed 1
-    assert(as.map(_.doubleValue).sum <= 1.0 + 1e-6)
+    assert(as.forall(_ > 0.0))
+    // top-10 of an L1-normalized (floor-scaled) vector can't exceed 1
+    assert(as.sum <= 1.0 + 1e-6)
   }
 
   test("q264: kept rates track 1/cluster-size within binomial noise") {
