@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch 3: higher-order basket mining, offline changepoint
+  * localization, and vocabulary mass estimation
+  * (SURVEY §2.8 X189-X191).
+  */
+object Queries62 {
+  import Tables._
+
+  /** q279 — FREQUENT BRAND TRIPLES (X189). Extends q234's pair rules
+    * to 3-itemsets: support counts of brand triples co-occurring in
+    * an order basket, min-support 5 absolute, with the 3-way lift
+    * N²·n_abc/(n_a·n_b·n_c) against full independence. Triple
+    * generation is the q222/q234 in-row expansion — ONE shuffle to
+    * per-order sorted brand sets, then i<j<k slicing, never a 3-way
+    * fact self-join. Counts are exact; support/lift are single float
+    * expressions.
+    *
+    * Scale: fanout C(brands-per-order, 3) is bounded by the 25-brand
+    * dimension (≤2300/order; typical baskets ≲10 brands → ≤120). At
+    * a high-cardinality item dimension the standard guard is the
+    * q143 cap: restrict to the top-k items by support before
+    * expansion — documented, not needed at the brand dimension.
+    */
+  def q279(s: SparkSession, d: String): DataFrame = {
+    val b = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand").as("brand"))
+      .distinct()
+    val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemN = b.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    val triples = b.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  flatten(transform(slice(bs, i + 2, size(bs)), (y, jj) ->
+          |    transform(slice(bs, i + jj + 3, size(bs)), z ->
+          |      struct(x AS a, y AS b, z AS c))))))""".stripMargin)).as("t"))
+      .groupBy(col("t.a"), col("t.b"), col("t.c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= 5)
+    triples
+      .join(broadcast(itemN.select(col("brand").as("a"),
+        col("n_item").as("na"))), Seq("a"))
+      .join(broadcast(itemN.select(col("brand").as("b"),
+        col("n_item").as("nb"))), Seq("b"))
+      .join(broadcast(itemN.select(col("brand").as("c"),
+        col("n_item").as("nc"))), Seq("c"))
+      .crossJoin(broadcast(n))
+      .select(col("a").as("brand_a"), col("b").as("brand_b"),
+        col("c").as("brand_c"), col("n_abc"),
+        round(col("n_abc").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        round(col("n_abc").cast("double") *
+          col("n_orders").cast("double") * col("n_orders").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double") *
+            col("nc").cast("double")), 4).as("lift3"))
+      .orderBy(col("n_abc").desc, col("brand_a"), col("brand_b"),
+        col("brand_c"))
+      .limit(25)
+  }
+
+  /** q280 — BINARY-SEGMENTATION CHANGEPOINT (X190). The first split
+    * of daily order revenue: t* = argmax over split days of the
+    * between-segment SSE reduction, in its cross-multiplied form
+    * gain(t) = (nR·SL − nL·SR)² / (nL·nR·n) — prefix sums SL/SR are
+    * EXACT e4-scaled BIGINTs (decimal-exact daily totals ×10⁴), so
+    * both engines feed identical integers to the one double
+    * expression, ranked on its 6dp rounding with the day tiebreak
+    * (round-9 convention). The offline complement to q229's online
+    * CUSUM — "did the level shift, and when?".
+    *
+    * Scale: one fact pass to the calendar-bounded day table; prefix
+    * windows + argmax on ≤|days| rows; TakeOrdered(1) tail.
+    */
+  def q280(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"))
+      .agg((round(sum(col("o_totalprice").cast("decimal(38,10)")), 4) *
+        10000).cast("long").as("rev_e4"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("nl", count(lit(1)).over(w))
+      .withColumn("sl", sum(col("rev_e4")).over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("st", sum(col("rev_e4")).over(whole))
+      .filter(col("nl") < col("n"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("gain", round(
+        (col("nr") * col("sl") - col("nl") * col("sr")).cast("double") *
+          (col("nr") * col("sl") - col("nl") * col("sr")).cast("double") /
+          (col("nl") * col("nr") * col("n")).cast("double") / lit(1e8), 6))
+      .orderBy(col("gain").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("split_day"), col("nl").as("n_left"),
+        col("nr").as("n_right"), col("gain").as("gain_sq"),
+        round(col("sl").cast("double") / col("nl").cast("double") / 1e4, 4)
+          .as("mean_left"),
+        round(col("sr").cast("double") / col("nr").cast("double") / 1e4, 4)
+          .as("mean_right"))
+  }
+
+  /** q281 — GOOD-TURING MASS OVER TOKEN 5-GRAMS (X191). Frequency-
+    * of-frequencies over the token 5-gram census: unseen-mass
+    * estimate p₀ = N₁/N and the smoothed counts
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..5 (Good 1953) — the held-out
+    * mass behind every Katz-backoff / n-gram-smoothing decision.
+    * 5-grams are the right census here: the word VOCABULARY of the
+    * corpus is 31 types, all frequent (no tail — measured), while
+    * 5-gram contexts are combinatorially sparse, which is exactly
+    * the regime Good-Turing exists for; complements q141 Zipf slope
+    * and q200 hapax health. All N_r are exact integers; p₀ and r*
+    * are single float divisions.
+    *
+    * Scale: in-row 5-gram generation (no self-join) → one census
+    * shuffle → ≤max-count-row freq-of-freqs aggregate → 5 rows.
+    */
+  def q281(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 5), " +
+          "i -> array_join(slice(toks, i + 1, 5), ' '))")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("nr"))
+    val tot = counts.agg(sum(col("r")).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    val n1 = fof.filter(col("r") === 1).select(col("nr").as("nr1"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("nr").as("nr_next"))
+    fof.filter(col("r").between(1, 5))
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(n1))
+      .select(col("r"), col("nr"),
+        coalesce(col("nr_next"), lit(0L)).as("nr_next"),
+        round((col("r") + 1).cast("double") *
+          coalesce(col("nr_next"), lit(0L)).cast("double") /
+          col("nr").cast("double"), 4).as("r_star"),
+        col("n_tokens"), col("vocab"),
+        round(col("nr1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p0_unseen"))
+      .orderBy(col("r"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_brand_triples" -> (q279 _),
+    "q280_binary_segmentation" -> (q280 _),
+    "q281_good_turing" -> (q281 _))
+}
+
+/** DuckDB mirrors of Queries62 — triple self-join equivalence to the
+  * in-row expansion, identical e4 prefix algebra, exact censuses.
+  */
+object Oracle62 {
+
+  val sql: Map[String, String] = Map(
+    "q279_brand_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |it AS (SELECT brand, count(*) AS n_item FROM b GROUP BY brand),
+        |tr AS (SELECT b1.brand AS a, b2.brand AS bb, b3.brand AS c,
+        |    count(*) AS n_abc
+        |  FROM b b1
+        |  JOIN b b2 ON b1.l_orderkey = b2.l_orderkey
+        |    AND b1.brand < b2.brand
+        |  JOIN b b3 ON b1.l_orderkey = b3.l_orderkey
+        |    AND b2.brand < b3.brand
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT tr.a AS brand_a, tr.bb AS brand_b, tr.c AS brand_c,
+        |  tr.n_abc,
+        |  round(CAST(tr.n_abc AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(tr.n_abc AS DOUBLE) *
+        |    CAST(n.n_orders AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+        |    (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE) *
+        |     CAST(ic.n_item AS DOUBLE)), 4) AS lift3
+        |FROM tr
+        |JOIN it ia ON ia.brand = tr.a
+        |JOIN it ib ON ib.brand = tr.bb
+        |JOIN it ic ON ic.brand = tr.c
+        |CROSS JOIN n
+        |ORDER BY tr.n_abc DESC, brand_a, brand_b, brand_c
+        |LIMIT 25""".stripMargin,
+
+    "q280_binary_segmentation" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(o_orderdate) // 1000) // 86400000000 AS day,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 4) *
+        |      10000 AS BIGINT) AS rev_e4
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT day,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+        |    CAST(sum(rev_e4) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sl,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(rev_e4) OVER () AS BIGINT) AS st
+        |  FROM daily),
+        |g AS (SELECT day, nl, n - nl AS nr, sl, st - sl AS sr, n,
+        |    round(CAST((n - nl) * sl - nl * (st - sl) AS DOUBLE) *
+        |      CAST((n - nl) * sl - nl * (st - sl) AS DOUBLE) /
+        |      CAST(nl * (n - nl) * n AS DOUBLE) / 1e8, 6) AS gain
+        |  FROM c WHERE nl < n)
+        |SELECT day AS split_day, nl AS n_left, nr AS n_right,
+        |  gain AS gain_sq,
+        |  round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) / 1e4, 4)
+        |    AS mean_left,
+        |  round(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) / 1e4, 4)
+        |    AS mean_right
+        |FROM g ORDER BY gain DESC, day LIMIT 1""".stripMargin,
+
+    "q281_good_turing" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |tk AS (SELECT unnest(list_transform(
+        |    range(0, len(toks) - 4),
+        |    i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+        |      CAST(i AS INT) + 5), ' '))) AS tok
+        |  FROM tt),
+        |cnt AS (SELECT tok, count(*) AS r FROM tk GROUP BY tok),
+        |fof AS (SELECT r, count(*) AS nr FROM cnt GROUP BY r),
+        |tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab FROM cnt),
+        |n1 AS (SELECT nr AS nr1 FROM fof WHERE r = 1)
+        |SELECT f.r, f.nr,
+        |  CAST(coalesce(nx.nr, 0) AS BIGINT) AS nr_next,
+        |  round(CAST(f.r + 1 AS DOUBLE) * CAST(coalesce(nx.nr, 0) AS DOUBLE)
+        |    / CAST(f.nr AS DOUBLE), 4) AS r_star,
+        |  tot.n_tokens, tot.vocab,
+        |  round(CAST(n1.nr1 AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6)
+        |    AS p0_unseen
+        |FROM fof f
+        |LEFT JOIN fof nx ON nx.r = f.r + 1
+        |CROSS JOIN tot CROSS JOIN n1
+        |WHERE f.r BETWEEN 1 AND 5
+        |ORDER BY f.r""".stripMargin)
+}

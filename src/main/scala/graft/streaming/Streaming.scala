@@ -604,6 +604,60 @@ object Streaming {
       }
   }
 
+  // ---- T15: streaming space-saving heavy hitters ----------------------
+
+  case class SsIn(shard: String, item: String)
+  case class SsState(items: Map[String, (Long, Long)])
+  case class SsOut(shard: String, item: String, count: Long, err: Long)
+
+  /** Streaming space-saving top-k (Metwally, Agrawal & El Abbadi
+    * 2005): per-shard state holds at most `capacity`
+    * (item → (count, overestimate)) counters. A tracked item
+    * increments; an untracked item evicts the minimum counter and
+    * inherits its count as the overestimate bound. Guarantees:
+    * true ≤ count ≤ true + err, and any item with true frequency
+    * > N/capacity is tracked — the streaming serving path of q118's
+    * batch heavy-hitter report. Eviction picks the minimum by
+    * (count, item) — deterministic under any arrival order of
+    * bound-equal candidates. With capacity ≥ distinct items the
+    * state degenerates to EXACT per-item counts, which is the
+    * StreamingSpec differential gate (≡ batch groupBy count under
+    * any batch split); the capacity-constrained bounds are asserted
+    * separately.
+    *
+    * Scale: per-shard state is `capacity` counters FOREVER —
+    * heavy-hitter tracking over unbounded item cardinality in
+    * constant memory, the reason telemetry pipelines ship this
+    * sketch instead of a streaming groupBy.
+    */
+  def spaceSavingTopK(ds: Dataset[SsIn], capacity: Int)(
+      implicit spark: SparkSession): Dataset[SsOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.shard)
+      .flatMapGroupsWithState[SsState, SsOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: String, rows: Iterator[SsIn],
+            state: GroupState[SsState]) =>
+          var m = state.getOption.map(_.items).getOrElse(
+            Map.empty[String, (Long, Long)])
+          rows.foreach { r =>
+            m.get(r.item) match {
+              case Some((c, e)) => m = m.updated(r.item, (c + 1, e))
+              case None if m.size < capacity =>
+                m = m.updated(r.item, (1L, 0L))
+              case None =>
+                val (evict, (minC, _)) =
+                  m.minBy { case (it, (c, _)) => (c, it) }
+                m = (m - evict).updated(r.item, (minC + 1, minC))
+            }
+          }
+          state.update(SsState(m))
+          m.toSeq.sortBy { case (it, (c, _)) => (-c, it) }
+            .map { case (it, (c, e)) => SsOut(shard, it, c, e) }
+            .iterator
+      }
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, withinSec: Long,
       watermark: String = "10 minutes"): DataFrame = {

@@ -742,4 +742,66 @@ class StreamingSpec extends SparkSpec {
       s"stream\\batch=${(one -- batch).take(3)}, batch\\stream=${(batch -- one).take(3)}")
     assert(five == batch, "batch-split invariance violated")
   }
+
+  test("T15 differential: space-saving at full capacity == batch counts under any batch split") {
+    import Streaming.{SsIn, SsOut}
+    val rows = Tables.events(spark, sf)
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .select($"event_type".as("shard"),
+        ($"user_id" % 20).cast("string").as("item"))
+      .as[SsIn].collect().toSeq
+    assert(rows.size > 100)
+    val batch = rows.groupBy(r => (r.shard, r.item))
+      .map { case (k, rs) => k -> rs.size.toLong }
+    def run(name: String, nSplits: Int): Map[(String, String), (Long, Long)] = {
+      val in = MemoryStream[SsIn](spark)
+      val q = Streaming.spaceSavingTopK(in.toDS(), capacity = 64)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        val chunks = rows.grouped(
+          math.max(1, rows.size / nSplits)).toSeq
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        // final state per (shard, item) = the max count ever emitted
+        spark.table(name).as[SsOut].collect()
+          .groupBy(o => (o.shard, o.item))
+          .map { case (k, os) =>
+            val last = os.maxBy(_.count); k -> (last.count, last.err) }
+      } finally q.stop()
+    }
+    val one = run("t15one", 1)
+    val four = run("t15four", 4)
+    // capacity 64 ≥ 20 distinct items per shard → sketch is EXACT
+    assert(one.keySet == batch.keySet)
+    one.foreach { case (k, (c, e)) =>
+      assert(e == 0L, s"$k: unexpected overestimate $e at full capacity")
+      assert(c == batch(k), s"$k: $c != ${batch(k)}")
+    }
+    assert(four == one, "batch-split invariance violated")
+  }
+
+  test("T15 bounds: capacity-constrained counts bracket the truth and track the heavy item") {
+    import Streaming.{SsIn, SsOut}
+    // 60% of the stream is item H; capacity 3 over 11 items
+    val items = (1 to 200).map(i =>
+      SsIn("s", if (i % 5 <= 2) "H" else s"i${i % 10}"))
+    val truth = items.groupBy(_.item).map { case (k, v) => k -> v.size.toLong }
+    val in = MemoryStream[SsIn](spark)
+    val q = Streaming.spaceSavingTopK(in.toDS(), capacity = 3)
+      .writeStream.format("memory").queryName("t15cap")
+      .outputMode("update").start()
+    try {
+      in.addData(items); q.processAllAvailable()
+      val state = spark.table("t15cap").as[SsOut].collect()
+        .groupBy(_.item).map { case (k, os) => k -> os.maxBy(_.count) }
+      assert(state.size <= 3)
+      // the guaranteed heavy hitter (freq > N/capacity) is tracked
+      assert(state.contains("H"), s"heavy item evicted: ${state.keys}")
+      state.values.foreach { o =>
+        val t = truth.getOrElse(o.item, 0L)
+        assert(o.count >= t && o.count - o.err <= t,
+          s"${o.item}: count=${o.count} err=${o.err} truth=$t")
+      }
+    } finally q.stop()
+  }
 }
