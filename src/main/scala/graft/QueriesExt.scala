@@ -546,6 +546,28 @@ object OracleExt {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |)""".stripMargin
 
+  /** The q47 simhash Hamming≤3 pair pipeline (brute-force form) as a
+    * reusable CTE chain ending in `shpairs(a_id, b_id, hamming)` —
+    * shared by the q47 oracle and the q291 dedup-family agreement
+    * audit so the two cannot drift.
+    */
+  private[graft] val simhashPairCtes: String = {
+    val shBits = (0 until 48).map { b =>
+      val mask = 1L << b
+      s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h & ${mask}::BIGINT) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${mask}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("\n  + ")
+    s"""t47 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |hv47 AS (SELECT doc_id, list_transform(toks, t -> ${md5long("t")}) AS hl FROM t47),
+       |s47 AS (SELECT doc_id,
+       |  $shBits AS sh FROM hv47),
+       |shpairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |  FROM s47 a JOIN s47 b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q32_langid" ->
       s"""WITH $langidPredCtes
@@ -677,21 +699,10 @@ object OracleExt {
     // the oracle is deliberately the BRUTE-FORCE all-pairs form: its
     // agreement with the Spark side's bit-band bucketed generator is
     // the result-invariance proof for the banding
-    "q47_simhash_pairs" -> {
-      val shBits = (0 until 48).map { b =>
-        val mask = 1L << b
-        s"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h & ${mask}::BIGINT) <> 0 THEN 1 ELSE -1 END)) > 0 THEN ${mask}::BIGINT ELSE 0::BIGINT END)"
-      }.mkString("\n  + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |hv AS (SELECT doc_id, list_transform(toks, t -> ${md5long("t")}) AS hl FROM t),
-         |s AS (SELECT doc_id,
-         |  $shBits AS sh FROM hv)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "q47_simhash_pairs" ->
+      s"""WITH $simhashPairCtes
+         |SELECT a_id, b_id, hamming FROM shpairs
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // Brute-force O(n·k) DFT over the zero-padded per-user signal —
     // closes the FFT oracle gap: the radix-2 FFT equals the DFT of the
