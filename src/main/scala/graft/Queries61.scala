@@ -1,9 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.functions.Text
 
 /** Round-9 batch 2: graph micro-structure and embedding compression
   * (SURVEY §2.8 X186-X188) — local clustering coefficients and
@@ -62,69 +60,114 @@ object Queries61 {
     * engines peel identically. Output: per (k, round) surviving
     * node and edge counts — the convergence profile.
     *
-    * Scale: per round ONE semi-join of the edge list against the
-    * survivor set + a degree aggregate; survivors only shrink.
+    * Scale: BOTH peels share one joined edge frame per round —
+    * round-r k=3 survivors are a subset of k=2 survivors (stricter
+    * threshold, monotone deletion), so the k=3 peel is a boolean
+    * flag on the k=2 frame, never a second join. Per round exactly
+    * ONE eager job: edge list ⋈ broadcast survivors → per-node
+    * degree table, materialized. Survivors AND the round's stats
+    * both read that tiny table (n_nodes = its row count, n_edges =
+    * Σ deg / 2 by the handshake lemma) — no second pass over edges,
+    * no countDistinct expand. The round-9 form ran the
+    * join-per-k-per-round = 16 edge-frame executions; this runs 4.
     */
   def q277(s: SparkSession, d: String): DataFrame = {
     val e0 = Queries40.coOrderEdges(s, d)
-    val out = (2 to 3).map { k =>
-      var nodes = e0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u"))
-      var acc: DataFrame = null
-      for (r <- 1 to 4) {
-        val e = e0.join(nodes, Seq("u"))
-          .join(nodes.select(col("u").as("v")), Seq("v"))
-        nodes = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select(col("u"))
-          .transform(Materialize.truncate)
-        val stats = e.agg(
-          countDistinct(col("u")).as("n_nodes_in"),
-          (count(lit(1)) / 2).cast("long").as("n_edges_in"))
-          .select(lit(k).as("k"), lit(r).as("round"), col("n_nodes_in"),
-            col("n_edges_in"))
-        acc = if (acc == null) stats else acc.unionByName(stats)
-      }
-      acc
-    }.reduce(_ unionByName _)
-    out.orderBy(col("k"), col("round"))
+    var deg: DataFrame = e0.groupBy(col("u"))
+      .agg(count(lit(1)).as("d2"), count(lit(1)).as("d3"))
+      .transform(Materialize.truncate)
+    var acc: DataFrame = null
+    for (r <- 1 to 4) {
+      // survivors of round r-1: ids + two booleans (<=|parts| rows),
+      // broadcast on both endpoints so no round shuffles the edge
+      // list (the q222 broadcast-labels convention)
+      val nodes = deg.select(col("u"), (col("d2") >= 2).as("in2"),
+        (col("d3") >= 3).as("in3"))
+      // ONE materialized degree frame per round carries everything:
+      // d2/d3 = degree of u within the round's k=2 / k=3 induced
+      // subgraph (k=3 edges are a FLAG on the k=2 frame - round-r
+      // k=3 survivors are a subset of k=2 survivors: stricter
+      // threshold, monotone deletion - never a second join)
+      deg = e0.join(broadcast(nodes), Seq("u"))
+        .join(broadcast(nodes.select(col("u").as("v"), col("in2").as("i2v"),
+          col("in3").as("i3v"))), Seq("v"))
+        .filter(col("in2") && col("i2v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("d2"),
+          sum(when(col("in3") && col("i3v"), lit(1L)).otherwise(lit(0L)))
+            .as("d3"))
+        .transform(Materialize.truncate)
+      // round stats fall out of the degree table: n_nodes = rows with
+      // >=1 induced edge (every deg row has d2 >= 1 by construction),
+      // n_edges = sum(deg) / 2 (handshake)
+      val stats = deg.agg(
+        count(lit(1)).as("nn2"),
+        (sum(col("d2")) / 2).cast("long").as("ne2"),
+        sum(when(col("d3") >= 1, lit(1L)).otherwise(lit(0L))).as("nn3"),
+        (sum(col("d3")) / 2).cast("long").as("ne3"))
+      val rows = stats.select(explode(array(
+        struct(lit(2).as("k"), lit(r).as("round"),
+          col("nn2").as("n_nodes_in"), col("ne2").as("n_edges_in")),
+        struct(lit(3).as("k"), lit(r).as("round"),
+          col("nn3").as("n_nodes_in"), col("ne3").as("n_edges_in"))))
+        .as("s"))
+        .select(col("s.*"))
+      acc = if (acc == null) rows else acc.unionByName(rows)
+    }
+    acc.orderBy(col("k"), col("round"))
   }
+
+  /** The 16×64 Achlioptas sign grid s(d,j) = 1 − 2·(md5(d·127 + j)
+    * mod 2), computed ONCE in Scala and spliced as LITERALS into both
+    * engines (the q243/q68 shared-grid convention — md5 here is
+    * provenance, not runtime work; no engine evaluates a hash). Keyed
+    * [j][dim].
+    */
+  private[graft] lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { dim =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(String.valueOf(dim * 127 + j).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        1 - 2 * (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2).toInt
+      }
+    }
 
   /** q278 — JL SIGN-PROJECTION DISTORTION AUDIT (X188). Project the
     * 64-dim embeddings to 16 dims with the deterministic ±1 matrix
     * s(d,j) = 1 − 2·(md5(d·127 + j) mod 2) (Achlioptas 2003 — the
-    * database-friendly JL construction; md5 is the engine-shared
-    * randomness, the q78 convention) and audit the norm distortion
-    * ratio |y|²/(16·|x|²) per vector — the compression every ANN
-    * index considers before paying full-width distance math.
-    * Projections sum in exact decimal; each ratio is one double
-    * division 6dp-pinned into decimal, histogrammed in tenths with
-    * an exact-decimal mean.
+    * database-friendly JL construction; the md5 draw is frozen into
+    * the [[jlSigns]] literal grid shared verbatim by both engines)
+    * and audit the norm distortion ratio |y|²/(16·|x|²) per vector —
+    * the compression every ANN index considers before paying
+    * full-width distance math. The projection and both norms are ONE
+    * native [[graft.functions.VectorExpressions.JlAudit]] kernel per
+    * row in exact floor(v·1eN)-BIGINT fixed point (the round-8
+    * engine-build-proof convention): y_e12(j) = Σ floor(x·s·1e12),
+    * ysq_e8 = Σ floor(y²·1e8), xsq_e8 = Σ floor(x²·1e8) — all longs,
+    * so the DuckDB row-wise replay is BIT-EXACT. Zero shuffles before
+    * the ≤20-row histogram aggregate (round-9 posexploded 64× through
+    * two exchanges — the r9 verdict's scale-killer; an interpreted
+    * HOF-fold rewrite measured 1.4 s of lambda boxing — the kernel is
+    * a tight primitive loop). Zero-norm vectors are excluded on BOTH
+    * engines (Spark divides to NULL where DuckDB gives inf — the q246
+    * zero-variance convention). Each ratio is one double division
+    * 6dp-pinned into decimal, histogrammed in tenths with an
+    * exact-decimal mean.
     *
-    * Scale: explode is |vecs|·64 rows joined to a broadcast 1024-row
-    * sign grid; the per-(vec, j) aggregate is the only shuffle.
+    * Scale: one scan, no exchange until the final tiny aggregates —
+    * at 100 TB the projection cost is the scan itself.
     */
   def q278(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 18)
-    val xs = embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-    val dims = xs.select(col("dim")).distinct()
-    val grid = dims.crossJoin(
-        broadcast(s.range(0, 16).toDF("j")))
-      .select(col("dim"), col("j"),
-        (lit(1) - lit(2) *
-          pmod(Text.md5Long((col("dim") * 127 + col("j")).cast("string")),
-            lit(2L))).as("sgn"))
-    val y = xs.join(broadcast(grid), Seq("dim"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum((col("x") * col("sgn")).cast(dec)).cast("double").as("y"))
-    val ynorm = y.groupBy(col("vec_id"))
-      .agg(sum((col("y") * col("y")).cast(dec)).cast("double").as("ysq"))
-    val xnorm = xs.groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("x")).cast(dec)).cast("double").as("xsq"))
-    val ratios = ynorm.join(xnorm, Seq("vec_id"))
+    import graft.functions.VectorExpressions
+    val ratios = embeddings(s, d)
       .select(col("vec_id"),
-        round(col("ysq") / (lit(16.0) * col("xsq")), 6)
+        VectorExpressions.jl_audit(col("embedding"), jlSigns).as("a"))
+      .select(col("vec_id"), col("a.ysq_e8").as("ysq_e8"),
+        col("a.xsq_e8").as("xsq_e8"))
+      .filter(col("xsq_e8") > 0)
+      .select(col("vec_id"),
+        round(col("ysq_e8").cast("double") /
+          (lit(16.0) * col("xsq_e8").cast("double")), 6)
           .cast("decimal(18,6)").as("ratio"))
     val mean = ratios.agg(
       round(sum(col("ratio")).cast("double") / count(lit(1)), 4)
@@ -219,26 +262,35 @@ object Oracle61 {
          |ORDER BY k, round""".stripMargin,
 
     "q278_jl_projection" -> {
-      val md5l = "CAST('0x' || substring(md5(CAST(x.dim * 127 + j.j " +
-        "AS VARCHAR)), 1, 15) AS BIGINT)"
-      s"""WITH x AS (SELECT vec_id, r.i AS dim,
+      // the SAME Scala-computed sign literals the JlAudit kernel
+      // inlines (the q243 VALUES-grid convention): 1,024 (dim, j,
+      // sgn) rows. Every accumulated value is a floor(v·1eN) BIGINT
+      // over IEEE-identical doubles, so this row-wise replay matches
+      // the Spark kernel bit-for-bit on any engine build.
+      val grid = (for (dim <- 0 until 64; j <- 0 until 16)
+        yield s"($dim,$j,${Queries61.jlSigns(j)(dim)})").mkString(",")
+      s"""WITH sg(dim, j, sgn) AS (VALUES $grid),
+         |x AS (SELECT vec_id, r.i AS dim,
          |    CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
          |  FROM embeddings,
          |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
-         |pj AS (SELECT x.vec_id, j.j,
-         |    CAST(sum(CAST(x.x * (1 - 2 * ($md5l % 2))
-         |      AS DECIMAL(38,18))) AS DOUBLE) AS y
-         |  FROM x CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
-         |  GROUP BY x.vec_id, j.j),
+         |pj AS (SELECT x.vec_id, sg.j,
+         |    sum(CAST(floor(x.x * sg.sgn * 1e12) AS BIGINT)) AS y_e12
+         |  FROM x JOIN sg ON sg.dim = x.dim
+         |  GROUP BY x.vec_id, sg.j),
          |yn AS (SELECT vec_id,
-         |    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS ysq
+         |    sum(CAST(floor((CAST(y_e12 AS DOUBLE) / 1e12) *
+         |      (CAST(y_e12 AS DOUBLE) / 1e12) * 1e8) AS BIGINT))
+         |      AS ysq_e8
          |  FROM pj GROUP BY vec_id),
          |xn AS (SELECT vec_id,
-         |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS xsq
+         |    sum(CAST(floor(x * x * 1e8) AS BIGINT)) AS xsq_e8
          |  FROM x GROUP BY vec_id),
          |rt AS (SELECT yn.vec_id,
-         |    CAST(round(ysq / (16.0 * xsq), 6) AS DECIMAL(18,6)) AS ratio
-         |  FROM yn JOIN xn USING (vec_id)),
+         |    CAST(round(CAST(ysq_e8 AS DOUBLE) /
+         |      (16.0 * CAST(xsq_e8 AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |      AS ratio
+         |  FROM yn JOIN xn USING (vec_id) WHERE xn.xsq_e8 > 0),
          |m AS (SELECT
          |    round(CAST(sum(ratio) AS DOUBLE) / count(*), 4) AS mean_ratio,
          |    count(*) AS n_vecs

@@ -25,17 +25,15 @@ object Queries62 {
     * a high-cardinality item dimension the standard guard is the
     * q143 cap: restrict to the top-k items by support before
     * expansion — documented, not needed at the brand dimension.
+    * The basket frame is [[Queries45.baskets]] — the SAME persisted
+    * (orderkey, brand) stage q234/q235 mine (r9 verdict: rebuilding
+    * it here cost a redundant fact join + distinct).
     */
   def q279(s: SparkSession, d: String): DataFrame = {
-    val b = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand").as("brand"))
-      .distinct()
-    val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val b = Queries45.baskets(s, d)
+    val n = Queries45.basketSets(s, d).agg(count(lit(1)).as("n_orders"))
     val itemN = b.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
-    val triples = b.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+    val triples = Queries45.basketSets(s, d)
       .select(explode(expr(
         """flatten(transform(bs, (x, i) ->
           |  flatten(transform(slice(bs, i + 2, size(bs)), (y, jj) ->

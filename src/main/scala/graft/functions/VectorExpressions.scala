@@ -185,4 +185,72 @@ object VectorExpressions {
   def pq_codes(vec: Column,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
     ExpressionUtils.column(PqCodes(ExpressionUtils.expression(vec), codebooks))
+
+  /** Johnson-Lindenstrauss sign-projection norm audit (q278): with the
+    * ±1 grid inlined (driver-computed, 16×64 ints — the PqCodes
+    * convention), emits struct(ysq_e8, xsq_e8) where
+    *   y_e12(j)  = Σ_d floor(x_d·s(d,j)·1e12)   (exact long sum)
+    *   y_j       = (double) y_e12(j) / 1e12
+    *   ysq_e8    = Σ_j floor(y_j·y_j·1e8)
+    *   xsq_e8    = Σ_d floor(x_d·x_d·1e8)
+    * — every step is either an IEEE double op on identical inputs or
+    * exact integer arithmetic, so a row-wise SQL replay (explode +
+    * grid join + BIGINT sums) reproduces the longs BIT-EXACTLY on any
+    * engine build (the round-8 floor(v·1eN)-BIGINT convention; no
+    * decimal cast, whose double→decimal rounding is
+    * implementation-shaded). Fits exactly in longs/2^53 for
+    * |x| < 9e3 and dim ≤ 64 — embeddings are unit-ish floats.
+    * CodegenFallback: per-call work is 16·64 + 2·64 flops, dwarfing
+    * boxed-call overhead.
+    */
+  case class JlAudit(child: Expression, signs: IndexedSeq[IndexedSeq[Int]])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("ysq_e8",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("xsq_e8",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val et = elemType(child.dataType)
+      val n = arr.numElements()
+      // width mismatch or null element → null (zip_with semantics)
+      if (signs.isEmpty || n != signs(0).length) return null
+      val xs = new Array[Double](n)
+      var xsqE8 = 0L
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val x = toDouble(et, arr, i)
+        xs(i) = x
+        xsqE8 += math.floor(x * x * 1e8).toLong
+        i += 1
+      }
+      var ysqE8 = 0L
+      var j = 0
+      while (j < signs.length) {
+        val row = signs(j)
+        var yE12 = 0L
+        i = 0
+        while (i < n) {
+          yE12 += math.floor(xs(i) * row(i) * 1e12).toLong
+          i += 1
+        }
+        val y = yE12.toDouble / 1e12
+        ysqE8 += math.floor(y * y * 1e8).toLong
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ysqE8, xsqE8))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def jl_audit(vec: Column, signs: IndexedSeq[IndexedSeq[Int]]): Column =
+    ExpressionUtils.column(JlAudit(ExpressionUtils.expression(vec), signs))
 }

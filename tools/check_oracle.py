@@ -8,6 +8,8 @@ import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+# optional 3rd arg: comma-separated name prefixes to restrict the check
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -29,6 +31,8 @@ def norm(v):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and not any(name.startswith(p) for p in only):
+        continue
     try:
         want = con.execute(sql).fetch_arrow_table()
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
