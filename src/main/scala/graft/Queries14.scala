@@ -68,9 +68,16 @@ object Queries14 {
     val post = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
         .as("tok"))
+    // df table is |vocab| rows — materialize it so the head selection
+    // and the df-carrying join don't each re-tokenize the corpus, and
+    // materialize the head postings so the SELF-join's two sides read
+    // blocks instead of running the tokenize+filter twice (r10: the
+    // lazy form paid THREE full tokenize passes per execution)
     val df_ = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .transform(Materialize.truncate)
     val head = df_.orderBy(col("df").desc, col("tok")).limit(30)
     val hp = post.join(broadcast(head), Seq("tok"))
+      .transform(Materialize.truncate)
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     hp.select(col("doc_id"), col("tok").as("a_tok"), col("df").as("a_df"))
       .join(hp.select(col("doc_id"), col("tok").as("b_tok"),

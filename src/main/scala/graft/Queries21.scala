@@ -112,21 +112,36 @@ object Queries21 {
     * not sampled.
     *
     * Scale: fan-out is |name| rows per record (linear), candidates
-    * come from an equi-join on the variant key, and the all-pairs
-    * levenshtein matrix — the naive O(n²) entity-resolution plan —
-    * never materializes. The report aggregates to one row per
-    * differing position.
+    * come from ONE shuffle of the variants into (pos, variant)
+    * buckets + an in-row i<j expansion (the q234 shape — a
+    * variants⋈variants self-join re-ran the fan-out per side and
+    * shuffled it twice; r10). A bucket's members all agree except at
+    * the wildcard, so its size is bounded by the ALPHABET at that
+    * position (≤10 for digit ids) — the expansion is constant per
+    * bucket, and the all-pairs levenshtein matrix — the naive O(n²)
+    * entity-resolution plan — never materializes. The report
+    * aggregates to one row per differing position.
     */
   def q171(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer").select(col("c_custkey"), col("c_name"))
-    val variants = c.select(col("c_custkey"), col("c_name"),
+    // bucket members agree at every position EXCEPT the wildcard, so
+    // levenshtein(a, b) == 1 ⟺ their characters AT pos differ (equal
+    // chars ⟹ identical names ⟹ distance 0) — carry the 1-char
+    // column, not the whole name, and the verification stays provable
+    val buckets = c.select(col("c_custkey"), col("c_name"),
         posexplode(graft.functions.Linkage.deletion_variants(col("c_name"))))
-      .toDF("c_custkey", "c_name", "pos", "variant")
-    val a = variants.toDF("a_id", "a_name", "pos", "variant")
-    val b = variants.toDF("b_id", "b_name", "pos", "variant")
-    a.join(b, Seq("pos", "variant"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(levenshtein(col("a_name"), col("b_name")) === 1)
+      .toDF("id", "name", "pos", "variant")
+      .groupBy(col("pos"), col("variant"))
+      .agg(sort_array(collect_list(struct(col("id"),
+        expr("substring(name, pos + 1, 1)").as("ch")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(col("pos"), explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> struct(" +
+          "x.id AS a_id, x.ch AS a_ch, y.id AS b_id, y.ch AS b_ch))))"))
+        .as("p"))
+      .select(col("pos"), col("p.*"))
+      .filter(col("a_ch") =!= col("b_ch"))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n_pairs"),
         min(col("a_id")).as("min_a_id"), max(col("b_id")).as("max_b_id"))

@@ -39,6 +39,10 @@ object Queries35 {
           "(x, i) -> struct(x AS l, element_at(t, i + 2) AS r))")).as("pr"))
       .select(col("source"), col("pr.l").as("l"), col("pr.r").as("r"))
       .filter(col("l") =!= "" && col("r") =!= "")
+      // the bigram frame feeds the census AND the scoring join —
+      // materialized once (the q155 window-fp stage-table convention)
+      // so the tokenize+expand pass runs once per execution, not twice
+      .transform(Materialize.truncate)
     val census = occ.groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_lr"))
     val marginal = census.groupBy(col("l")).agg(sum(col("n_lr")).as("n_l"))
     occ.join(census, Seq("l", "r"))

@@ -134,15 +134,23 @@ object Queries45 {
   def q235(s: SparkSession, d: String): DataFrame = {
     val cb = custBrands(s, d)
     val itemCnt = cb.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
-    val co = cb.groupBy(col("o_custkey"))
-      .agg(sort_array(collect_set(col("brand"))).as("bs"))
-      .select(explode(expr(
-        "flatten(transform(bs, (x, i) -> " +
-          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
-      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n_co"))
-    val directed = co.select(col("a"), col("b"), col("n_co"))
-      .union(co.select(col("b").as("a"), col("a").as("b"), col("n_co")))
+    // codegen'd self-join, NOT the in-row set expansion q234 uses:
+    // customers hold ~20 of the 25 brands (orders hold ~3), so this
+    // expansion is ~190 pairs × |customers| — at that fanout the
+    // interpreted nested-transform lambdas measured 2.3 s while the
+    // equi-join's generated loop stays inside whole-stage codegen
+    // with map-side partial aggregation to ≤C(25,2) pair rows
+    val co = cb.join(cb.select(col("o_custkey"), col("brand").as("b")),
+        Seq("o_custkey"))
+      .filter(col("brand") < col("b"))
+      .groupBy(col("brand").as("a"), col("b"))
+      .agg(count(lit(1)).as("n_co"))
+    // in-row flip, not union-with-mirror — the union re-ran the whole
+    // per-customer expansion per reference (the q234 r10 fix)
+    val directed = co.select(explode(array(
+        struct(col("a"), col("b"), col("n_co")),
+        struct(col("b").as("a"), col("a").as("b"), col("n_co")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.n_co").as("n_co"))
       .join(broadcast(itemCnt.withColumnRenamed("brand", "a")
         .withColumnRenamed("n_item", "n_a")), Seq("a"))
       .join(broadcast(itemCnt.withColumnRenamed("brand", "b")

@@ -126,6 +126,10 @@ object Queries49 {
       .select(col("event_id"), col("event_type"), col("value"),
         pmod(Text.md5Long(col("event_id").cast("string")), lit(4L))
           .as("fold"))
+      // three consumers (train, calibrate, test) — materialized so
+      // the events scan + md5 fold runs once, not three times (the
+      // q266 convention)
+      .transform(Materialize.truncate)
     val model = base.filter(col("fold") <= 1)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_train"),

@@ -152,6 +152,10 @@ object Queries52 {
       .groupBy(col("event_type"),
         expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
       .agg(sum(floor(col("value") * lit(10000.0)).cast("long")).as("v"))
+      // the 35-cell matrix heads every sweep stage's lineage — the
+      // lazy chain re-aggregated the events fact FIVE times (once per
+      // median + the final select); materialized it runs once
+      .transform(Materialize.truncate)
     // sweep 1: rows then columns
     val rm1 = medianBy(cells, "event_type", "v", "dow", "rm1")
     val c1 = cells.join(broadcast(rm1), Seq("event_type"))

@@ -113,6 +113,11 @@ object Queries56 {
       .filter(col("nxt").isNotNull)
       .withColumn("fold",
         pmod(Text.md5Long(col("event_id").cast("string")), lit(4L)))
+      // three consumers (training counts, marginal baseline, held-out
+      // scoring) — materialized so the user-ordered window pass + md5
+      // fold runs once per execution, not three times (the q155
+      // stage-table convention)
+      .transform(Materialize.truncate)
     val trainCnt = trans.filter(col("fold") <= 2)
       .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
     val pred = trainCnt

@@ -29,6 +29,9 @@ object Queries57 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = tk.groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
+      // head selection AND scoring both read tf — materialized so the
+      // tokenize+count pass runs once per execution, not twice
+      .transform(Materialize.truncate)
     val head = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(20)
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))

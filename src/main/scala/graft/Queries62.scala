@@ -132,9 +132,14 @@ object Queries62 {
         "transform(sequence(0, size(toks) - 5), " +
           "i -> array_join(slice(toks, i + 1, 5), ' '))")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("r"))
+    // the freq-of-freqs table is ≤max-count rows — materialize it so
+    // its four consumers (rows, shifted join, N₁ probe, totals) run
+    // the 5-gram census ONCE, not once each; totals are derivable
+    // from it exactly (N = Σ r·N_r, |vocab| = Σ N_r)
     val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("nr"))
-    val tot = counts.agg(sum(col("r")).as("n_tokens"),
-      count(lit(1)).as("vocab"))
+      .transform(Materialize.truncate)
+    val tot = fof.agg(sum(col("r") * col("nr")).as("n_tokens"),
+      sum(col("nr")).as("vocab"))
     val n1 = fof.filter(col("r") === 1).select(col("nr").as("nr1"))
     val nxt = fof.select((col("r") - 1).as("r"), col("nr").as("nr_next"))
     fof.filter(col("r").between(1, 5))

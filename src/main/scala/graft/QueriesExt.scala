@@ -305,12 +305,22 @@ object QueriesExt {
       element_at(col("principal_components"), 3).as("p3"))
       .withColumn("pcsq",
         col("p1") * col("p1") + col("p2") * col("p2") + col("p3") * col("p3"))
+    // projected variances via the same decimal-moment form as the
+    // trace (ADVICE r9): avg(p²)−avg(p)² over raw double avgs is both
+    // partition-order-dependent and cancellation-prone — the decimal
+    // sums pin each moment to one exact value before the float math
+    def dvar(c: Column): Column = {
+      val n = count(lit(1))
+      (sum((c * c).cast(dec)).cast("double") / n) -
+        (sum(c.cast(dec)).cast("double") / n) *
+          (sum(c.cast(dec)).cast("double") / n)
+    }
     val pstats = proj.agg(
       count(lit(1)).as("n_vecs"),
       min(col("xsq") - col("pcsq")).as("min_resid"),
-      (avg(col("p1") * col("p1")) - avg(col("p1")) * avg(col("p1"))).as("v1"),
-      (avg(col("p2") * col("p2")) - avg(col("p2")) * avg(col("p2"))).as("v2"),
-      (avg(col("p3") * col("p3")) - avg(col("p3")) * avg(col("p3"))).as("v3"))
+      dvar(col("p1")).as("v1"),
+      dvar(col("p2")).as("v2"),
+      dvar(col("p3")).as("v3"))
     // trace via the q246 moment convention so the oracle replays it
     // exactly: decimal sums → double var → 6dp decimal per dim →
     // exact sum → 4dp double
@@ -331,8 +341,11 @@ object QueriesExt {
         lit(maxDev < 1e-6).as("orthonormal_ok"),
         (col("v1") >= col("v2") - lit(1e-9) &&
           col("v2") >= col("v3") - lit(1e-9)).as("variance_ordered_ok"),
+        // tolerance covers the trace's aggregate 6dp-rounding bound:
+        // nd per-dim variances each rounded by ≤5e-7 (ADVICE r9 — a
+        // bare 1e-6 could flip on a correct PCA)
         (col("v1") + col("v2") + col("v3") <=
-          col("trace_raw") + lit(1e-6)).as("explained_le_total_ok"),
+          col("trace_raw") + lit(nd * 5e-7 + 1e-6)).as("explained_le_total_ok"),
         (col("min_resid") >= lit(-1e-6)).as("projection_contractive_ok"),
         col("total_var"))
   }

@@ -33,10 +33,32 @@ object Tables {
     * write and read of a single invocation always agree.
     */
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private[graft] def scratchDir(tag: String, d: String): String =
+  /** Per-invocation dirs are never reused, so without cleanup a long
+    * session (bench passes × round-trip queries) grows target/
+    * roundtrip without bound (ADVICE r9). Deleting eagerly after the
+    * query returns would break its LAZY read-back, so THIS pid's dirs
+    * are removed by a JVM shutdown hook instead; other pids' dirs are
+    * left alone (they may be live concurrent suites).
+    */
+  private lazy val scratchCleanup: Unit = {
+    val pidTag = "_p" + ProcessHandle.current().pid() + "_c"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val root = new java.io.File("/root/repo/target/roundtrip")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(root.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.contains(pidTag)) rm(f)
+      })
+    }, "graft-scratch-cleanup"))
+  }
+  private[graft] def scratchDir(tag: String, d: String): String = {
+    scratchCleanup
     s"/root/repo/target/roundtrip/${tag}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_p" +
       ProcessHandle.current().pid() + "_c" + scratchSeq.incrementAndGet()
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -287,10 +287,18 @@ class PlanSpec extends SparkSpec {
     val df147 = q("q147_perplexity_filter")
     assert(hasBroadcastExchange(df147))
     assert(!hasCartesian(df147))
-    // q148: head vocabulary broadcasts; top-20 is TakeOrdered
+    // q148 (r10 shape): the head-vocabulary broadcast join runs inside
+    // the MATERIALIZED postings stage (hp is a LogicalRDD in the final
+    // plan), so the final plan shows the pair self-join as an
+    // equi-join over the blocks — never cartesian/nested-loop — with
+    // the top-20 as TakeOrdered
     val df148 = q("q148_pmi_collocations")
-    assert(broadcastHashJoins(df148).nonEmpty)
+    assert(hasSortMergeJoin(df148) || broadcastHashJoins(df148).nonEmpty,
+      "pair self-join must plan as an equi-join")
     assert(hasTakeOrdered(df148))
+    // the only non-equi join is the 1-row n_docs totals broadcast
+    // (BroadcastNestedLoopJoin over a single row — the house shape);
+    // a true cartesian over data-sized inputs must never appear
     assert(!hasCartesian(df148))
   }
 
@@ -366,10 +374,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q171: neighborhood blocking plans an equi-join (hash or sort-merge), never nested-loop") {
+  test("q171: neighborhood blocking is bucket-collect + in-row pairs — no join at all") {
+    // r10 shape: ONE shuffle into (pos, variant) buckets, i<j
+    // expansion in-row — the variants⋈variants self-join (and with it
+    // any chance of a nested-loop fallback) is gone entirely
     val df = q("q171_hamming1_entity_pairs")
-    assert(!hasCartesian(df) && !hasNestedLoop(df))
-    assert(hasAnyJoin(df))
+    assert(!hasAnyJoin(df))
+    assert(hashAggCount(df) + objectHashAggCount(df) > 0)
   }
 
   test("q173: MAD screen broadcasts the per-lang stats frames") {
