@@ -212,6 +212,9 @@ object VectorExpressions {
           org.apache.spark.sql.types.StructField("xsq_e8",
             org.apache.spark.sql.types.LongType, nullable = false)))
     override def nullIntolerant: Boolean = true
+    // nullable regardless of the child: a width-mismatched or
+    // null-element array yields null even from a non-null input
+    override def nullable: Boolean = true
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]

@@ -302,6 +302,17 @@ class PlanSpec extends SparkSpec {
     assert(!hasCartesian(df148))
   }
 
+  test("q278: JL audit sits on the scan — no equi-join, no pre-aggregate exchange") {
+    // r10 shape: the JlAudit kernel projects straight off the parquet
+    // scan; the only exchanges are the tiny histogram/mean aggregates
+    // and the final sort (the r9 posexplode form shuffled the 64×
+    // exploded table through two per-vector exchanges)
+    val df = q("q278_jl_projection")
+    assert(!hasSortMergeJoin(df) && !hasCartesian(df))
+    assert(broadcastHashJoins(df).isEmpty)
+    assert(shufflePartitionings(df).size <= 3, shufflePartitionings(df).toString)
+  }
+
   test("q143: capped pair generation keeps the (band,bucket) bucket-collect shape") {
     val df = q("q143_capped_lsh_pairs")
     assert(!hasCartesian(df) && !hasNestedLoop(df))

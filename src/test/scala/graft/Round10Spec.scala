@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-10 consolidation rewrites. The DuckDB gate
+  * proves value parity; these pin the EQUIVALENCES each rewrite claims
+  * (kernel == reference arithmetic, folded peel == independent peels,
+  * bucket expansion == brute-force pairs, shared arm == its
+  * definition) so a future refactor can't keep a hash while breaking
+  * the contract the speedup rests on.
+  */
+class Round10Spec extends SparkSpec {
+
+  import graft.functions.VectorExpressions
+
+  test("JlAudit kernel == scalar floor-fixed-point reference on real embeddings") {
+    val signs = Queries61.jlSigns
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.jl_audit(col("embedding"), signs).as("a"))
+      .select(col("vec_id"), col("embedding"),
+        col("a.ysq_e8"), col("a.xsq_e8"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = r.getSeq[Float](1).map(_.toDouble)
+      var xsq = 0L
+      xs.foreach(x => xsq += math.floor(x * x * 1e8).toLong)
+      var ysq = 0L
+      signs.foreach { row =>
+        var yE12 = 0L
+        var i = 0
+        while (i < xs.length) {
+          yE12 += math.floor(xs(i) * row(i) * 1e12).toLong; i += 1
+        }
+        val y = yE12.toDouble / 1e12
+        ysq += math.floor(y * y * 1e8).toLong
+      }
+      assert(r.getLong(2) == ysq && r.getLong(3) == xsq,
+        s"vec ${r.getLong(0)}: kernel (${r.getLong(2)}, ${r.getLong(3)}) != reference ($ysq, $xsq)")
+    }
+  }
+
+  test("JlAudit null/width semantics: null element and width mismatch yield null") {
+    import spark.implicits._
+    val signs = Queries61.jlSigns
+    val wrongWidth = Seq(Tuple1(Array.fill(8)(1.0f))).toDF("embedding")
+    assert(wrongWidth.select(VectorExpressions.jl_audit(col("embedding"), signs))
+      .collect().head.isNullAt(0), "width mismatch must be null")
+    val withNull = spark.sql(
+      "SELECT " + (0 until 64).map(i =>
+        if (i == 7) "CAST(NULL AS FLOAT)" else s"CAST($i AS FLOAT)")
+        .mkString("array(", ", ", ")") + " AS embedding")
+    assert(withNull.select(VectorExpressions.jl_audit(col("embedding"), signs))
+      .collect().head.isNullAt(0), "null element must be null")
+  }
+
+  test("jlSigns is the frozen md5 grid: ±1 entries, 16×64, stable checksum") {
+    val g = Queries61.jlSigns
+    assert(g.length == 16 && g.forall(_.length == 64))
+    assert(g.flatten.forall(v => v == 1 || v == -1))
+    // the grid is spliced into the DuckDB oracle as literals — a
+    // drifting draw would silently re-randomize the projection, so
+    // pin its content (position-weighted checksum, computed once from
+    // the md5 definition and frozen here)
+    assert(g.flatten.sum == 0, s"grid balance drifted: ${g.flatten.sum}")
+    val sig = g.flatten.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum
+    assert(sig == 23046L, s"grid checksum drifted: $sig")
+  }
+
+  test("q277 folded dual-k peel == independent single-k peels on the real graph") {
+    // reference: run each k's 4-round peel independently (the r9
+    // shape) over the same co-order edges and compare the full table
+    val e0 = Queries40.coOrderEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def peel(k: Int): Seq[(Int, Int, Long, Long)] = {
+      var edges = e0
+      var survivors = e0.groupBy(_._1).filter(_._2.length >= k).keySet
+      (1 to 4).map { r =>
+        edges = edges.filter(e => survivors(e._1) && survivors(e._2))
+        val deg = edges.groupBy(_._1).map { case (u, es) => (u, es.length) }
+        survivors = deg.filter(_._2 >= k).keySet
+        (k, r, deg.size.toLong, edges.length.toLong / 2)
+      }
+    }
+    val want = (peel(2) ++ peel(3)).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q277_kcore_peeling")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
+  test("q171 bucket expansion == brute-force hamming-1 pairs on customers") {
+    val names = Tables.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && na.length == nb.length
+      diffs = na.zip(nb).zipWithIndex.filter { case ((a, b), _) => a != b }
+      if diffs.length == 1
+    } yield (diffs.head._2, ia, ib)
+    val wantByPos = brute.groupBy(_._1).map { case (p, ps) =>
+      (p, (ps.length.toLong, ps.map(_._2).min, ps.map(_._3).max))
+    }
+    val got = SparkEntry.queries("q171_hamming1_entity_pairs")(spark, sf)
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == wantByPos)
+  }
+
+  test("q234/q279 shared basketSets arm == per-order distinct sorted brand sets") {
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val got = Queries45.basketSets(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q235 self-join co-counts == set-expansion co-counts") {
+    // the r10 rewrite's claim: the codegen'd custkey self-join yields
+    // EXACTLY the per-customer C(brands,2) pair counts
+    val cb = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("p_brand"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = cb.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = SparkEntry.queries("q235_item_cf")(spark, sf)
+      .select(col("brand"), col("neighbor"), col("n_co")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      // q235 reports directed top-3; undirect and dedup for compare
+      .map { case ((a, b), n) => (if (a < b) (a, b) else (b, a), n) }
+      .toMap
+    got.foreach { case (k, n) =>
+      assert(want.getOrElse(k, -1L) == n, s"pair $k: got $n want ${want.get(k)}")
+    }
+    assert(got.nonEmpty)
+  }
+}
