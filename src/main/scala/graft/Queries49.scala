@@ -44,14 +44,29 @@ object Queries49 {
       // its term x/0 → Spark NaN/Inf vs DuckDB cast error (ADVICE r8)
       // — drop it from the quadratic form on BOTH sides
       .filter(col("v") > 0.0)
-    xs.join(broadcast(moments), Seq("dim"))
-      .withColumn("term",
-        round((col("x") - col("mu")) * (col("x") - col("mu")) / col("v"), 6)
-          .cast("decimal(18,6)"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("term")).as("score_dec"))
+    // the surviving (dim, mu, v) rows ride ONE broadcast array row and
+    // the quadratic form folds IN-ROW (r10): the join form re-exploded
+    // the embeddings and shuffled |vecs|·dims decimal terms back to
+    // per-vector sums. Terms are the same round(…,6) decimal(18,6)
+    // values; the fold adds at (29,6) and casts back to the sum's
+    // (28,6) — same-scale, exact — so the score is bit-identical to
+    // sum(term) and order-free.
+    val mv = moments
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu"),
+        col("v")))).as("ms"))
+    embeddings(s, d).crossJoin(broadcast(mv))
       .select(col("vec_id"), col("label"),
-        round(col("score_dec").cast("double"), 4).as("m2_score"))
+        expr(
+          """cast(aggregate(
+            |  transform(ms, m -> cast(round(
+            |    (cast(element_at(embedding, m.dim + 1) as double) - m.mu) *
+            |    (cast(element_at(embedding, m.dim + 1) as double) - m.mu) /
+            |    m.v, 6) as decimal(18,6))),
+            |  cast(0 as decimal(28,6)),
+            |  (acc, t) -> cast(acc + t as decimal(28,6)))
+            |as double)""".stripMargin).as("score"))
+      .select(col("vec_id"), col("label"),
+        round(col("score"), 4).as("m2_score"))
       .orderBy(col("m2_score").desc, col("vec_id"))
       .limit(20)
   }
