@@ -43,7 +43,13 @@ object Queries40 {
       // pay driver-side canonicalized-plan-cache lookups against that
       // tree (the q250/q270 finding, VERDICT r8 #3) — truncation hands
       // consumers a small LogicalRDD instead
-      pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      // symmetrize with an in-row 2-struct flip (the r10 q234
+      // convention) — union-with-mirror re-ran the whole pair
+      // census once per side during the arm build
+      pairs.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
         .transform(Materialize.truncate)
     }
 

@@ -129,8 +129,12 @@ object Queries62 {
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(explode(expr(
+        // concat_ws over five element_at lookups, not
+        // array_join(slice(…)) — same string, no per-gram array
+        // allocation inside the interpreted lambda
         "transform(sequence(0, size(toks) - 5), " +
-          "i -> array_join(slice(toks, i + 1, 5), ' '))")).as("g"))
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
+          "toks[i+3], toks[i+4]))")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("r"))
     // the freq-of-freqs table is ≤max-count rows — materialize it so
     // its four consumers (rows, shifted join, N₁ probe, totals) run
