@@ -33,6 +33,12 @@ object Queries62 {
     val b = Queries45.baskets(s, d)
     val n = Queries45.basketSets(s, d).agg(count(lit(1)).as("n_orders"))
     val itemN = b.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    // in-row i<j<k expansion over the persisted sets — measured
+    // AGAINST a codegen'd 3-way orderkey self-join (r10): ~0.8 s vs
+    // ~1.7 s exec. The q235 join-beats-HOF lesson is FANOUT-bounded:
+    // customers hold ~20 brands (C(20,2)≈190 lambda steps/row — join
+    // wins) while orders hold ~3 (C(3,3)≈1-4 steps/row — the join's
+    // two extra 520k-row shuffles dominate, HOF wins).
     val triples = Queries45.basketSets(s, d)
       .select(explode(expr(
         """flatten(transform(bs, (x, i) ->
