@@ -90,6 +90,12 @@ object Queries9 {
     val sized = withDf
       .withColumn("pos", row_number().over(byDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix heads both sides of the candidate self-join, but the two
+    // sides are PLAN-IDENTICAL up to the projection, so Spark's
+    // ReusedExchange already computes the window chain once — an
+    // explicit Materialize.truncate was MEASURED ~0.7 s SLOWER (r10)
+    // and is deliberately absent. (The q148/q171/q234 lazy-dedup fixes
+    // targeted references that differ in shape — those do re-run.)
     val prefix = sized.filter(
       col("pos") <= col("n") - ceil(lit(PpjoinT) * col("n")) + 1)
     // length filter (the AllPairs second pruning rule): J ≥ t implies
