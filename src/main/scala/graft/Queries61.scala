@@ -99,11 +99,14 @@ object Queries61 {
       // round stats fall out of the degree table: n_nodes = rows with
       // >=1 induced edge (every deg row has d2 >= 1 by construction),
       // n_edges = sum(deg) / 2 (handshake)
+      // coalesce: sum() over an empty degree table (every node peeled)
+      // is NULL where the oracle's count(*)-based rows give 0
       val stats = deg.agg(
         count(lit(1)).as("nn2"),
-        (sum(col("d2")) / 2).cast("long").as("ne2"),
-        sum(when(col("d3") >= 1, lit(1L)).otherwise(lit(0L))).as("nn3"),
-        (sum(col("d3")) / 2).cast("long").as("ne3"))
+        (coalesce(sum(col("d2")), lit(0L)) / 2).cast("long").as("ne2"),
+        coalesce(sum(when(col("d3") >= 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("nn3"),
+        (coalesce(sum(col("d3")), lit(0L)) / 2).cast("long").as("ne3"))
       val rows = stats.select(explode(array(
         struct(lit(2).as("k"), lit(r).as("round"),
           col("nn2").as("n_nodes_in"), col("ne2").as("n_edges_in")),
