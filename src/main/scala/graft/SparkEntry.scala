@@ -28,7 +28,8 @@ object SparkEntry {
       Queries48.all ++ Queries49.all ++ Queries50.all ++ Queries51.all ++
       Queries52.all ++ Queries53.all ++ Queries54.all ++ Queries55.all ++
       Queries56.all ++ Queries57.all ++ Queries58.all ++ Queries59.all ++
-      Queries60.all ++ Queries61.all ++ Queries62.all ++ Queries63.all
+      Queries60.all ++ Queries61.all ++ Queries62.all ++ Queries63.all ++
+      Queries64.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       Oracle48.sql ++ Oracle49.sql ++ Oracle50.sql ++ Oracle51.sql ++
       Oracle52.sql ++ Oracle53.sql ++ Oracle54.sql ++ Oracle55.sql ++
       Oracle56.sql ++ Oracle57.sql ++ Oracle58.sql ++ Oracle59.sql ++
-      Oracle60.sql ++ Oracle61.sql ++ Oracle62.sql ++ Oracle63.sql
+      Oracle60.sql ++ Oracle61.sql ++ Oracle62.sql ++ Oracle63.sql ++
+      Oracle64.sql
 }
