@@ -18,7 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Builder-side iteration aid (mirrors Verify): SPARK_GRAFT_ONLY
+    // restricts the timed set. The driver never sets it → full suite,
+    // and a restricted run never overwrites the committed record
+    // (PERF_QUERIES.json write is skipped below).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // warmup at the smallest sf (exercises every codegen path cheaply)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
@@ -71,7 +78,7 @@ object Bench {
     // driver's truncated stdout tail can never lose the evidence:
     // per-query min AND all three raw pass times, plus the 2x-gate
     // arithmetic against the recorded 47-query/54.5s baseline.
-    try {
+    try if (only.isEmpty) {
       val perQuery = names.map { nm =>
         val raw = passes.map(_(nm)).mkString("[", ",", "]")
         s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "passes": $raw}"""
