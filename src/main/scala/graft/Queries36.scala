@@ -25,7 +25,7 @@ object Queries36 {
   /** The q197 snapshot core shared by q213/q214: per-user pre-cutoff
     * activity (the score) and the post-cutoff purchase-churn label.
     */
-  private def snapshot(s: SparkSession, d: String): DataFrame = {
+  private[graft] def snapshot(s: SparkSession, d: String): DataFrame = {
     val cut = events(s, d)
       .agg((max(unix_micros(col("ts"))) - 7L * 86400000000L).as("cut_us"))
     events(s, d)
@@ -118,7 +118,7 @@ object Queries36 {
   */
 object Oracle36 {
 
-  private val snapCtes =
+  private[graft] val snapCtes =
     """cut AS (SELECT max(epoch_ns(ts) // 1000) - 7 * 86400000000
       |    AS cut_us FROM events),
       |snap AS (SELECT user_id,
