@@ -148,4 +148,29 @@ class Round10Spec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("q279 index-sequence triple expansion == brute-force C(n,3) combos") {
+    // the r10 rewrite's claim: sequence(0, n-3)/bs[i] indexing (no
+    // per-level slice copies) emits exactly the ordered i<j<k triples,
+    // and the size>=3 guard keeps descending sequences out
+    val sets = Queries45.basketSets(spark, sf)
+      .collect().map(r => r.getSeq[String](1))
+    val want = sets.flatMap { bs =>
+      for (i <- bs.indices; j <- i + 1 until bs.length;
+           k <- j + 1 until bs.length) yield (bs(i), bs(j), bs(k))
+    }.groupBy(identity).map { case (t, v) => (t, v.size.toLong) }
+    val got = Queries45.basketSets(spark, sf)
+      .filter(size(col("bs")) >= 3)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs) - 3), i ->
+          |  flatten(transform(sequence(i + 1, size(bs) - 2), j ->
+          |    transform(sequence(j + 1, size(bs) - 1), k ->
+          |      struct(bs[i] AS a, bs[j] AS b, bs[k] AS c))))))""".stripMargin))
+        .as("t"))
+      .groupBy(col("t.a"), col("t.b"), col("t.c")).count()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
