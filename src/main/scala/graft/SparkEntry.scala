@@ -29,7 +29,7 @@ object SparkEntry {
       Queries52.all ++ Queries53.all ++ Queries54.all ++ Queries55.all ++
       Queries56.all ++ Queries57.all ++ Queries58.all ++ Queries59.all ++
       Queries60.all ++ Queries61.all ++ Queries62.all ++ Queries63.all ++
-      Queries64.all ++ Queries65.all ++ Queries66.all
+      Queries64.all ++ Queries65.all ++ Queries66.all ++ Queries67.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +51,5 @@ object SparkEntry {
       Oracle52.sql ++ Oracle53.sql ++ Oracle54.sql ++ Oracle55.sql ++
       Oracle56.sql ++ Oracle57.sql ++ Oracle58.sql ++ Oracle59.sql ++
       Oracle60.sql ++ Oracle61.sql ++ Oracle62.sql ++ Oracle63.sql ++
-      Oracle64.sql ++ Oracle65.sql ++ Oracle66.sql
+      Oracle64.sql ++ Oracle65.sql ++ Oracle66.sql ++ Oracle67.sql
 }
