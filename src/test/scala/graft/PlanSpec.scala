@@ -450,4 +450,41 @@ class PlanSpec extends SparkSpec {
     assert(!hasCartesian(df))
     assert(pushedFilters(df).contains("o_orderdate"))
   }
+
+  test("q295/q303: per-row censuses need no join — aggregates go partial+final") {
+    val rep = q("q295_doc_repetition")
+    assert(!hasAnyJoin(rep))
+    assert(hashAggCount(rep) >= 2)
+    val simp = q("q303_simpson_diversity")
+    assert(!hasAnyJoin(simp))
+    assert(hashAggCount(simp) >= 4) // two census levels, each partial+final
+  }
+
+  test("q296/q297: lag scan and l-diversity join only reduced frames — no cartesian fact join") {
+    assert(!hasCartesian(q("q296_lead_lag")))
+    val ld = q("q297_l_diversity")
+    assert(!hasCartesian(ld))
+    assert(hasBroadcastExchange(ld)) // the 1-row total rides a broadcast
+  }
+
+  test("q300: the date-sorted zone-map arm is analytic — NO window, NO sort before the output") {
+    val df = q("q300_layout_skip")
+    assert(!hasWindow(df), "a row_number layout simulation crept back in")
+    assert(!hasAnyJoin(df) || !hasSortMergeJoin(df))
+  }
+
+  test("q301/q302: single-fact-scan window forms — the panel never re-scans the table") {
+    // q301: exactly lineitem + part once each; q302: events once
+    assert(fileScans(q("q301_eb_shrinkage")).size == 2)
+    assert(fileScans(q("q302_jackknife_ratio")).size == 1)
+  }
+
+  test("q299/q304: kmeans assign and RBO broadcast their panels — no cartesian, no SMJ on the grids") {
+    val km = q("q299_lloyd_step")
+    assert(!hasCartesian(km))
+    assert(broadcastHashJoins(km).nonEmpty)
+    val rbo = q("q304_rbo_rankings")
+    assert(!hasCartesian(rbo))
+    assert(hasWindow(rbo)) // the two ranks are windows over ≤|brands| rows
+  }
 }
