@@ -34,8 +34,12 @@ object Queries66 {
     * Scale: pure per-row HOF scan (no shuffle before the ≤|sources|
     * aggregate); n-gram arrays live only inside the row.
     */
-  def q295(s: SparkSession, d: String): DataFrame = {
-    val perDoc = documents(s, d)
+  /** The q295 per-doc stage on ANY documents-shaped frame (source,
+    * text) — shared verbatim by the T16 streaming twin so the
+    * differential compares the SAME expressions, not a re-derivation.
+    */
+  private[graft] def repPerDoc(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks",
         expr("filter(split(text, ' '), w -> length(w) > 0)"))
       .filter(size(col("toks")) >= 3)
@@ -59,6 +63,12 @@ object Queries66 {
       .withColumn("f_tri",
         round(col("dup_tri").cast("double") / col("n_tri").cast("double"), 6)
           .cast("decimal(10,6)"))
+
+  /** The q295 census aggregate — every column a streaming-mergeable
+    * sum/count (per-doc decimals summed order-free), so the SAME
+    * expressions run under a streaming groupBy in StreamingSpec T16.
+    */
+  private[graft] def repCensus(perDoc: DataFrame): DataFrame =
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
@@ -71,8 +81,9 @@ object Queries66 {
       .withColumn("dup_bigram_share",
         round(col("dup_bigrams").cast("double") /
           col("total_bigrams").cast("double"), 6))
-      .orderBy(col("source"))
-  }
+
+  def q295(s: SparkSession, d: String): DataFrame =
+    repCensus(repPerDoc(documents(s, d))).orderBy(col("source"))
 
   /** q296 — LEAD–LAG CROSS-CORRELATION SCAN (X206). Does click
     * volume LEAD purchase volume? Pearson r between daily clicks at

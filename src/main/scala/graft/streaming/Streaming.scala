@@ -606,6 +606,8 @@ object Streaming {
 
   // ---- T15: streaming space-saving heavy hitters ----------------------
 
+  case class DocRow(source: String, text: String)
+
   case class SsIn(shard: String, item: String)
   case class SsState(items: Map[String, (Long, Long)])
   case class SsOut(shard: String, item: String, count: Long, err: Long)
@@ -657,6 +659,24 @@ object Streaming {
             .iterator
       }
   }
+
+  /** T16: streaming Gopher repetition census — the q295 intra-doc
+    * dup-n-gram filter run at INGEST, where the reference's quality
+    * routing lives (README.md:239-263 validity gate shape). The
+    * per-doc stage is stateless row math (HOF n-gram scan, integer
+    * cross-multiplied flag); the census is a streaming groupBy whose
+    * every column is a mergeable sum/count over per-doc 6dp decimals
+    * (order-free by §7.4 construction) — so complete-mode state after
+    * ANY batch split equals the batch census bit-for-bit
+    * (StreamingSpec T16 differential vs the oracled q295). Uses the
+    * SAME Queries66 stage functions, not a re-derivation.
+    *
+    * Scale: no per-key custom state — plain streaming aggregation
+    * state of ≤|sources| rows per shard; the n-gram arrays live only
+    * inside the row.
+    */
+  def repetitionCensus(docs: DataFrame): DataFrame =
+    graft.Queries66.repCensus(graft.Queries66.repPerDoc(docs))
 
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, withinSec: Long,

@@ -804,4 +804,37 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("T16 differential: streaming repetition census == q295 batch under any batch split") {
+    import Streaming.DocRow
+    // the oracled batch twin, keyed by source
+    val batch = SparkEntry.queries("q295_doc_repetition")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val rows = Tables.documents(spark, sf)
+      .select($"source", $"text").as[DocRow].collect().toSeq
+    assert(rows.size > 100, s"fixture too small: ${rows.size}")
+    val in = MemoryStream[DocRow](spark)
+    // complete mode: the census state IS the answer after the last batch
+    val q = Streaming.repetitionCensus(in.toDF())
+      .writeStream.format("memory").queryName("t16rep")
+      .outputMode("complete").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.size / 4)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      val streamed = spark.table("t16rep")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (src, got) =>
+        assert(got == batch(src),
+          s"source $src: streamed census $got != batch ${batch(src)}")
+      }
+    } finally q.stop()
+  }
 }
