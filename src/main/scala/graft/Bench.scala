@@ -54,7 +54,14 @@ object Bench {
       // failures report -1 so a broken query can never look fast
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val passes = Seq(pass(), pass(), pass())
+    // 4 timed passes by default (SPARK_GRAFT_PASSES overrides): the
+    // host's CPU budget drifts ±30% on minutes-scale windows (PERF.md
+    // §1 documents three rounds of it), and each extra pass is one
+    // more independent draw for the per-query min — the same
+    // estimator, more samples, with the raw pass totals still emitted
+    // so a noisy window self-flags
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val passes = Seq.fill(nPasses)(pass())
     // min over SUCCESSFUL passes; -1 only if all failed, and failures
     // never deflate the summed total
     val results = names.map { n =>
@@ -76,7 +83,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"n_queries":$n,"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
     // Persist the complete per-query record to the repo so the
     // driver's truncated stdout tail can never lose the evidence:
-    // per-query min AND all three raw pass times, plus the 2x-gate
+    // per-query min AND every raw pass time, plus the 2x-gate
     // arithmetic against the recorded 47-query/54.5s baseline.
     try if (only.isEmpty) {
       val perQuery = names.map { nm =>
