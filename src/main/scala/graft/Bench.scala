@@ -11,19 +11,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Builder-side A/B aid: SPARK_GRAFT_CONF="k=v;k=v" overlays extra
+    // session confs for config experiments. The driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Builder-side iteration aid (mirrors Verify): SPARK_GRAFT_ONLY
     // restricts the timed set. The driver never sets it → full suite,
     // and a restricted run never overwrites the committed record
     // (PERF_QUERIES.json write is skipped below).
+    // blank prefixes dropped (ADVICE r10): SPARK_GRAFT_ONLY='' must
+    // behave like unset — Set("") would match every query via
+    // startsWith while only.isDefined still skipped the record write
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     // warmup at the smallest sf (exercises every codegen path cheaply)

@@ -35,8 +35,11 @@ object Queries14 {
     */
   def q147(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 18)
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // tokens from the shared TokenStages arm (VERDICT r10 #2): both
+    // references (vocab census + scoring join) explode cached arrays
+    // instead of each re-tokenizing the corpus from the raw scan
+    val toks = TokenStages.docToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("total"))
     toks.join(vocab, Seq("tok"))
@@ -65,8 +68,10 @@ object Queries14 {
     * integers (no float aggregation at all). Top-20 is TakeOrdered.
     */
   def q148(s: SparkSession, d: String): DataFrame = {
-    val post = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+    // per-doc distinct postings from the shared arm — in-row
+    // array_distinct over cached arrays, zero extra shuffles
+    val post = TokenStages.docToks(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("toks")))
         .as("tok"))
     // df table is |vocab| rows — materialize it so the head selection
     // and the df-carrying join don't each re-tokenize the corpus, and

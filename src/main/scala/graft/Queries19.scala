@@ -102,14 +102,10 @@ object Queries19 {
     * TakeOrdered, never a global sort.
     */
   def q164(s: SparkSession, d: String): DataFrame =
-    documents(s, d).filter(col("text").isNotNull)
-      .select(graft.functions.Text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(slice(t, 1, size(t) - 1), " +
-          "(x, i) -> struct(x AS l, element_at(t, i + 2) AS r))")).as("pr"))
-      .select(col("pr.l").as("l"), col("pr.r").as("r"))
-      .filter(col("l") =!= "" && col("r") =!= "")
+    // the adjacent-pair occurrence frame is the shared TokenStages
+    // bigram arm (q212 scores the same rows); aggregating it over
+    // source is exactly the previous sourceless census
+    TokenStages.bigramOcc(s, d)
       .groupBy(col("l"), col("r"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l"), col("r"))

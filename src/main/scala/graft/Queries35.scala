@@ -31,18 +31,10 @@ object Queries35 {
     * report is a |sources|-row aggregate.
     */
   def q212(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d).filter(col("text").isNotNull)
-      .select(col("source"), graft.functions.Text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("source"), explode(expr(
-        "transform(slice(t, 1, size(t) - 1), " +
-          "(x, i) -> struct(x AS l, element_at(t, i + 2) AS r))")).as("pr"))
-      .select(col("source"), col("pr.l").as("l"), col("pr.r").as("r"))
-      .filter(col("l") =!= "" && col("r") =!= "")
-      // the bigram frame feeds the census AND the scoring join —
-      // materialized once (the q155 window-fp stage-table convention)
-      // so the tokenize+expand pass runs once per execution, not twice
-      .transform(Materialize.truncate)
+    // the bigram frame feeds the census AND the scoring join — it IS
+    // the shared TokenStages arm (q164 censuses the same rows), so
+    // the tokenize+expand pass runs once per SESSION, not per query
+    val occ = TokenStages.bigramOcc(s, d)
     val census = occ.groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_lr"))
     val marginal = census.groupBy(col("l")).agg(sum(col("n_lr")).as("n_l"))
     occ.join(census, Seq("l", "r"))

@@ -139,8 +139,7 @@ object Queries62 {
     * shuffle → ≤max-count-row freq-of-freqs aggregate → 5 rows.
     */
   def q281(s: SparkSession, d: String): DataFrame = {
-    val counts = documents(s, d)
-      .select(split(col("text"), " ").as("toks"))
+    val counts = TokenStages.docToks(s, d)
       .filter(size(col("toks")) >= 5)
       .select(explode(expr(
         // concat_ws over five element_at lookups, not

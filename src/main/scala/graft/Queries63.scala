@@ -31,10 +31,15 @@ object Queries63 {
     * arithmetic on the census table.
     */
   def q282(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
+    // word census from the shared TokenStages arm; materialized
+    // (≈|vocab| rows) because its TWO consumers — the pair census and
+    // the merge audit — are differently shaped, so the lazy form ran
+    // the census twice per execution (the r10 lazy-re-eval rule)
+    val words = TokenStages.docToks(s, d)
+      .select(explode(col("toks")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .transform(Materialize.truncate)
     val top = words.filter(length(col("w")) >= 2)
       .select(col("w"), col("freq"),
         explode(expr(

@@ -158,6 +158,12 @@ object Queries64 {
       .select(col("a_id"), col("b_id"), col("label"),
         col("a_emb"), col("a_nrm"),
         round(col("cos_raw"), 6).cast(dec).as("cos_ap"))
+    // INVARIANT (ADVICE r10): neg_id = (h+k) mod n_vecs is joined back
+    // to embeddings with an INNER join, so the id space must be
+    // contiguous [0, n_vecs) — a gap would silently drop triplets, and
+    // identically on both engines, so the oracle could not catch it.
+    // Round11Spec pins max(vec_id)+1 == count(*) == countDistinct at
+    // both test sfs so a sparse-id regression fails loudly in-suite.
     val withNeg = pos.crossJoin(broadcast(nVecs))
       .withColumn("h", Text.md5Long(
         concat(lit("trip:"), col("a_id"), lit("_"), col("b_id"))))
@@ -207,8 +213,8 @@ object Queries64 {
     * bucket), so the distinct frame is evaluated once, not twice.
     */
   def q288(s: SparkSession, d: String): DataFrame = {
-    val cc = documents(s, d)
-      .select(expr("filter(split(text, ' '), w -> length(w) > 0)").as("t"))
+    val cc = TokenStages.docToks(s, d)
+      .select(expr("filter(toks, w -> length(w) > 0)").as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(2, size(t)), j -> concat_ws(' ', t[j-2], t[j-1]))"))

@@ -134,7 +134,10 @@ object Queries66 {
       .withColumn("rk", rank().over(
         Window.orderBy(col("r").desc_nulls_last, col("lag"))))
       .select(col("lag"), col("n_days"), col("r").as("lag_corr"),
-        (col("rk") === 1).as("is_best"))
+        // is_best requires a non-null correlation (ADVICE r10): if
+        // every lag's r is null (<3 overlapping days at all lags),
+        // rank() would still crown lag 0 with a null lag_corr
+        (col("rk") === 1 && col("r").isNotNull).as("is_best"))
       .orderBy(col("lag"))
   }
 
@@ -440,7 +443,7 @@ object Oracle66 {
         |  FROM mom)
         |SELECT lag, n_days, lag_corr,
         |  rank() OVER (ORDER BY lag_corr DESC NULLS LAST, lag) = 1
-        |    AS is_best
+        |    AND lag_corr IS NOT NULL AS is_best
         |FROM r ORDER BY lag""".stripMargin,
 
     "q297_l_diversity" ->

@@ -80,6 +80,9 @@ object Queries9 {
         explode(array_distinct(
           graft.functions.TextExpressions.shingle_strings(col("text"), 3)))
           .as("tok"))
+    // post is deliberately NOT materialized: it is one codegen shingle
+    // kernel over the scan (the q110 recompute-beats-truncate class);
+    // truncating it re-measured as a wash in r11 (1.8-2.0 s either way)
     // df via a window over the SAME tok shuffle the join keys need —
     // the aggregate+self-join alternative shuffles the token table a
     // second time and re-runs the shingle pass to build it
@@ -90,14 +93,15 @@ object Queries9 {
     val sized = withDf
       .withColumn("pos", row_number().over(byDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix heads both sides of the candidate self-join, but the two
-    // sides are PLAN-IDENTICAL up to the projection, so Spark's
-    // ReusedExchange already computes the window chain once — an
-    // explicit Materialize.truncate was MEASURED ~0.7 s SLOWER (r10)
-    // and is deliberately absent. (The q148/q171/q234 lazy-dedup fixes
-    // targeted references that differ in shape — those do re-run.)
+    // prefix heads both sides of the candidate self-join. Round-10
+    // relied on ReusedExchange to compute the window chain once, but
+    // the r11 plan audit (tools.Plans) shows the reuse NO LONGER fires
+    // — the formatted plan carries TWO full window chains — so the
+    // 3-window/2-shuffle chain ran twice per execution. Materialized
+    // (VERDICT r10 #3): re-measured 2.2 → ~1.2 s on the same window.
     val prefix = sized.filter(
       col("pos") <= col("n") - ceil(lit(PpjoinT) * col("n")) + 1)
+      .transform(Materialize.truncate)
     // length filter (the AllPairs second pruning rule): J ≥ t implies
     // t·|a| ≤ |b| and t·|b| ≤ |a| (since i ≤ min(na,nb)), so unequal
     // sizes can be pruned at candidate time. EXACT integer arithmetic

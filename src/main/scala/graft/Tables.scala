@@ -17,8 +17,30 @@ import org.apache.spark.sql.functions._
   * partition pruning, filter pushdown, and column pruning on top.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Memoized per (session, sf dir, table): `spark.read.parquet`
+    * re-runs file listing + footer schema inference on EVERY call —
+    * measured 0.08-0.09 s per call on this box (tools.ReadCost), which
+    * at ~1.5 table reads per query was ~30 s of the 305-query bench,
+    * the single largest cost class of the round-10 profile (the
+    * "per-query floor", VERDICT r10 #4). A catalog-backed production
+    * table resolves schema and listing once in the metastore, not per
+    * query — this cache is that shape for pathname-based reads. The
+    * DataFrame is immutable (transformations derive new plans), so
+    * reuse cannot change any result; the driver's testdata is
+    * immutable per round, so a pinned first listing is never stale.
+    * getOrElseUpdate's non-atomic thunk is fine here: the value is an
+    * unpersisted logical plan — a raced double read is harmless.
+    */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // evict entries of dead applications (restarted context in-JVM)
+    tableCache.keys.filterNot(_.startsWith(appId + "|"))
+      .foreach(tableCache.remove)
+    tableCache.getOrElseUpdate(s"$appId|$sfDir|$name",
+      spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** Per-process scratch dir for queries that WRITE (round-trip
     * sources q115/q116/q150, lake ops q152/q153): pid-suffixed so
@@ -86,8 +108,11 @@ object Tables {
     * winner's copy. The cache keys on the sf dir, not the session —
     * the file layout is session-independent.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(normalizedEventsDir(s, d))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    tableCache.getOrElseUpdate(s"$appId|$d|events_normalized",
+      s.read.parquet(normalizedEventsDir(s, d)))
+  }
 
   /** The µs-normalized events directory — a plain parquet dir, so it
     * can also feed a Structured Streaming FILE source (the

@@ -17,8 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Builder-side iteration aid: SPARK_GRAFT_ONLY=q163,q164 restricts the
     // dump to those queries. The driver never sets it → full dump.
+    // blank prefixes dropped (ADVICE r10, the Bench fix mirrored):
+    // SPARK_GRAFT_ONLY='' behaves like unset, not match-everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

@@ -198,8 +198,13 @@ object VectorExpressions {
     * grid join + BIGINT sums) reproduces the longs BIT-EXACTLY on any
     * engine build (the round-8 floor(v·1eN)-BIGINT convention; no
     * decimal cast, whose double→decimal rounding is
-    * implementation-shaded). Fits exactly in longs/2^53 for
-    * |x| < 9e3 and dim ≤ 64 — embeddings are unit-ish floats.
+    * implementation-shaded). Exactness envelope (ADVICE r10): with
+    * dim ≤ 64, |y_j| ≤ 64·|x|max, so the floor terms stay exact longs
+    * (y·1e12 and y²·1e8 both < 2^53) only while |x|max ≲ 1e2 —
+    * NOT the 9e3 once claimed here (at |x|≈9e3, y²·1e8 ≈ 3e19
+    * overflows Long and y·1e12 exceeds 2^53). Unit-ish embedding
+    * floats (|x| ≤ ~1) sit far inside the true bound; reusing this
+    * kernel on larger-magnitude vectors needs a rescale first.
     * CodegenFallback: per-call work is 16·64 + 2·64 flops, dwarfing
     * boxed-call overhead.
     */
