@@ -73,14 +73,13 @@ object Queries14 {
     val post = TokenStages.docToks(s, d)
       .select(col("doc_id"), explode(array_distinct(col("toks")))
         .as("tok"))
-    // df table is |vocab| rows — materialize it so the head selection
-    // and the df-carrying join don't each re-tokenize the corpus, and
-    // materialize the head postings so the SELF-join's two sides read
-    // blocks instead of running the tokenize+filter twice (r10: the
-    // lazy form paid THREE full tokenize passes per execution)
-    val df_ = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .transform(Materialize.truncate)
-    val head = df_.orderBy(col("df").desc, col("tok")).limit(30)
+    // df census feeds ONLY the head selection now that hp carries df
+    // through the broadcast join — the r10 truncate (then: three full
+    // tokenize passes) is obsolete with post reading the shared arm;
+    // the head postings stay materialized so the SELF-join's two
+    // sides read blocks instead of re-running the explode+filter
+    val head = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(30)
     val hp = post.join(broadcast(head), Seq("tok"))
       .transform(Materialize.truncate)
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
