@@ -95,6 +95,40 @@ object Bench {
     // per-query min AND every raw pass time, plus the 2x-gate
     // arithmetic against the recorded 47-query/54.5s baseline.
     try if (only.isEmpty) {
+      // Drift self-defense (VERDICT r10 #7): before overwriting the
+      // record, compare this run's per-query mins against the
+      // PREVIOUS committed record. A uniform ratio distribution
+      // (tight histogram around a common median) is host drift; a
+      // long tail of isolated large ratios is a plan regression. The
+      // histogram makes the two machine-distinguishable inside the
+      // artifact itself.
+      val drift = try {
+        val prev = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("PERF_QUERIES.json")), "UTF-8")
+        val entry = """"(q[^"]+)":\s*\{"min":\s*([0-9.Ee+-]+)""".r
+        val prevMins = entry.findAllMatchIn(prev)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = names.flatMap { nm =>
+          val now = results.toMap.apply(nm)
+          prevMins.get(nm).collect {
+            case p if p > 0.03 && now > 0 => nm -> now / p
+          }
+        }.sortBy(_._2)
+        if (ratios.size < 20) "null" else {
+          val rs = ratios.map(_._2)
+          def pct(q: Double) = rs((q * (rs.size - 1)).round.toInt)
+          val edges = Seq(0.0, 0.5, 0.8, 0.9, 1.0, 1.1, 1.25, 1.5, 2.0)
+          val counts = edges.zip(edges.drop(1) :+ Double.MaxValue).map {
+            case (lo, hi) => rs.count(r => r >= lo && r < hi) }
+          val worst = ratios.takeRight(5).reverse.map { case (n, r) =>
+            s"""{"q": "$n", "ratio": ${f"$r%.3f"}}""" }.mkString("[", ",", "]")
+          s"""{"n_shared": ${rs.size}, "median": ${f"${pct(0.5)}%.3f"},
+    "p10": ${f"${pct(0.1)}%.3f"}, "p90": ${f"${pct(0.9)}%.3f"},
+    "hist_edges": ${edges.mkString("[", ",", "]")},
+    "hist_counts": ${counts.mkString("[", ",", "]")},
+    "worst": $worst}"""
+        }
+      } catch { case _: Throwable => "null" }
       val perQuery = names.map { nm =>
         val raw = passes.map(_(nm)).mkString("[", ",", "]")
         s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "passes": $raw}"""
@@ -114,6 +148,7 @@ object Bench {
   "cpus": $cpus,
   "pass_totals": $passTotals,
   "pass_spread": $spread,
+  "drift_vs_previous_record": $drift,
   "total_min_per_query_s": $total,
   "failed": $failedJson,
   "gate": $gate,
