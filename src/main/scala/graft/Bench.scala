@@ -63,6 +63,16 @@ object Bench {
       // failures report -1 so a broken query can never look fast
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
+    // host-load self-defense (VERDICT r11 #4): snapshot /proc/loadavg
+    // around each pass so a red gate recorded on a loaded host is
+    // machine-readable from the artifact, not inferable only from
+    // pass spreads. 1-min load ≈ 32 (the worker count) is this bench
+    // alone; sustained ≫ 32 means co-tenants were competing.
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // 4 timed passes by default (SPARK_GRAFT_PASSES overrides): the
     // host's CPU budget drifts ±30% on minutes-scale windows (PERF.md
     // §1 documents three rounds of it), and each extra pass is one
@@ -70,7 +80,13 @@ object Bench {
     // estimator, more samples, with the raw pass totals still emitted
     // so a noisy window self-flags
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
-    val passes = Seq.fill(nPasses)(pass())
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadavg())
+    val passes = Seq.fill(nPasses) {
+      val p = pass(); passLoads += loadavg(); p
+    }
+    // nPasses+1 samples: before pass 1, then after each pass (the 1-min
+    // EMA lags, so the after-pass reading is the one that reflects it)
+    val loadsJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     // min over SUCCESSFUL passes; -1 only if all failed, and failures
     // never deflate the summed total
     val results = names.map { n =>
@@ -89,7 +105,7 @@ object Bench {
       .mkString("[", ",", "]")
     val n = names.size
     val secPerQuery = if (n > 0 && total >= 0) total / n else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"n_queries":$n,"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$passTotals,"pass_loadavg":$loadsJson,"n_queries":$n,"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
     // Persist the complete per-query record to the repo so the
     // driver's truncated stdout tail can never lose the evidence:
     // per-query min AND every raw pass time, plus the 2x-gate
@@ -102,9 +118,18 @@ object Bench {
       // long tail of isolated large ratios is a plan regression. The
       // histogram makes the two machine-distinguishable inside the
       // artifact itself.
+      // The comparison target is the WORKING-TREE PERF_QUERIES.json —
+      // which a prior run in this checkout may itself have written
+      // (ADVICE r11). The drift object therefore records the previous
+      // file's own total and mtime, so the artifact identifies what it
+      // was compared against instead of implying "the committed record".
       val drift = try {
-        val prev = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("PERF_QUERIES.json")), "UTF-8")
+        val prevPath = java.nio.file.Paths.get("PERF_QUERIES.json")
+        val prev = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        val prevMtime = java.nio.file.Files.getLastModifiedTime(prevPath)
+          .toInstant.toString
+        val prevTotal = """"total_min_per_query_s":\s*([0-9.Ee+-]+)""".r
+          .findFirstMatchIn(prev).map(_.group(1)).getOrElse("null")
         val entry = """"(q[^"]+)":\s*\{"min":\s*([0-9.Ee+-]+)""".r
         val prevMins = entry.findAllMatchIn(prev)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -124,11 +149,16 @@ object Bench {
             s"""{"q": "$n", "ratio": ${f"$r%.3f"}}""" }.mkString("[", ",", "]")
           s"""{"n_shared": ${rs.size}, "median": ${f"${pct(0.5)}%.3f"},
     "p10": ${f"${pct(0.1)}%.3f"}, "p90": ${f"${pct(0.9)}%.3f"},
+    "prev_total_min_per_query_s": $prevTotal, "prev_file_mtime": "$prevMtime",
     "hist_edges": ${edges.mkString("[", ",", "]")},
     "hist_counts": ${counts.mkString("[", ",", "]")},
     "worst": $worst}"""
         }
-      } catch { case _: Throwable => "null" }
+      } catch { case e: Throwable =>
+        // a nulled drift must say WHY, not swallow the cause (ADVICE r11)
+        System.err.println(s"[bench] drift computation failed: $e")
+        "null"
+      }
       val perQuery = names.map { nm =>
         val raw = passes.map(_(nm)).mkString("[", ",", "]")
         s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "passes": $raw}"""
@@ -147,6 +177,7 @@ object Bench {
   "sf": "$sfDir",
   "cpus": $cpus,
   "pass_totals": $passTotals,
+  "pass_loadavg": $loadsJson,
   "pass_spread": $spread,
   "drift_vs_previous_record": $drift,
   "total_min_per_query_s": $total,

@@ -42,8 +42,15 @@ object Queries16 {
     val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"))
     src.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    // layout is a FILESYSTEM property: count part-files by listing the
+    // directory (what OPTIMIZE/VACUUM tooling does), not by scanning
+    // every row for input_file_name + distinct — the scan-based count
+    // cost two full reads + shuffles per call for a number the listing
+    // already knows
     def files(p: String): Long =
-      s.read.parquet(p).select(input_file_name()).distinct().count()
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") &&
+          !f.getName.endsWith(".crc")).toLong
     val fragFiles = files(s"$dir/frag")
     val frag = s.read.parquet(s"$dir/frag")
     frag.repartitionByRange(2, col("o_orderkey"))

@@ -77,17 +77,42 @@ object Queries22 {
     * (n_chars, doc_id) total order — the discretizer behind
     * length-balanced packing and per-bucket mixture quotas.
     *
-    * Scale: ntile is one window over a sort the aggregate twin would
-    * need anyway; the report is 8 rows. At 100 TB the same report
-    * comes from the X75 sketch — this is the exact form.
+    * Scale: computed from the n_chars value histogram — no fact-wide
+    * sort or one-partition window exists in the plan; the report is 8
+    * rows. At 100 TB the same report comes from the X75 sketch — this
+    * is the exact form.
     */
   def q174(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    documents(s, d).filter(col("n_chars").isNotNull)
-      .select(col("doc_id"), col("n_chars"), ntile(8).over(w).as("bucket"))
+    // Equi-depth WITHOUT ranking the fact (VERDICT r11 #3): ntile's
+    // output here is a pure function of the VALUE HISTOGRAM — group by
+    // n_chars (domain-bounded: distinct values ≤ max document length,
+    // not corpus size), cumulative counts over that small frame, and
+    // read each closed-form NTILE rank boundary off the cumsum:
+    // bucket b covers global ranks [lo_b, hi_b] (buckets 1..n%k get
+    // ⌈n/k⌉ rows), its count is hi_b−lo_b+1 by construction, and its
+    // lo/hi VALUES are the least histogram values whose cum ≥ lo_b /
+    // ≥ hi_b. The doc_id tiebreak only orders rows WITHIN one value,
+    // which no output column can see. One scan + one |values| shuffle;
+    // the residual unpartitioned cumsum window runs over the value
+    // domain (aggregate-frame class), never over fact rows. Were the
+    // value domain itself fact-scale, ScaleRank (q247) is the lift.
+    val w = Window.orderBy(col("n_chars"))
+    val hist = documents(s, d).filter(col("n_chars").isNotNull)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_tot", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val grid = broadcast(s.range(1, 9).toDF("bucket"))
+    val loRank = "(bucket - 1) * (n_tot div 8) + least(bucket - 1, n_tot % 8) + 1"
+    val hiRank = "bucket * (n_tot div 8) + least(bucket, n_tot % 8)"
+    hist.join(grid, col("cum") >= expr(loRank))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .agg((max(expr(hiRank)) - max(expr(loRank)) + 1L).as("n_docs"),
+        min(col("n_chars")).as("lo"),
+        min(when(col("cum") >= expr(hiRank), col("n_chars"))).as("hi"))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n_docs"), col("lo"), col("hi"))
       .orderBy(col("bucket"))
   }
 

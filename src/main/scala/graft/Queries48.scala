@@ -155,12 +155,12 @@ object Queries48 {
     * value at the same relative rank — all integer ranks and values,
     * no float anywhere.
     *
-    * Scale: per-source ranks partition by source; the POOLED rank is
-    * the one global window, declared as the oracle-gate exactness
-    * path — the production corpus swaps it for the q159/q165
-    * mergeable quantile sketch. The decile grid multiplies a narrow
-    * 3-column projection by 10, then filters to exactly 10 rows per
-    * scope.
+    * Scale: per-source ranks partition by source; the POOLED rank
+    * rides ScaleRank (range-partitioned global rank — no one-partition
+    * window anywhere). This is still the exactness path whose
+    * production twin is the q159/q165 mergeable quantile sketch. The
+    * decile grid multiplies a narrow 3-column projection by 10, then
+    * filters to exactly 10 rows per scope.
     */
   def q245(s: SparkSession, d: String): DataFrame = {
     val grid = broadcast(s.range(1, 11).toDF("decile"))
@@ -174,13 +174,21 @@ object Queries48 {
       .crossJoin(grid)
       .filter(col("rn") === expr("(decile * n_s + 9) div 10"))
       .select(col("source"), col("decile"), col("n_chars").as("src_value"))
-    val pooled = docs
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("n_t", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
-      .crossJoin(grid)
-      .filter(col("rn") === expr("(decile * n_t + 9) div 10"))
+    // pooled decile values WITHOUT ranking the fact (VERDICT r11 #3):
+    // the value at global rank t is a pure function of the n_chars
+    // VALUE HISTOGRAM (the q174 form) — the doc_id tiebreak only
+    // orders rows within one value, invisible to a value lookup. The
+    // cumsum window runs over the value domain, never fact rows.
+    val wp = Window.orderBy(col("n_chars"))
+    val pooledHist = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wp.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_t", sum(col("cnt")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pooled = pooledHist.join(grid,
+        col("cum") - col("cnt") < expr("(decile * n_t + 9) div 10") &&
+          col("cum") >= expr("(decile * n_t + 9) div 10"))
       .select(col("decile"), col("n_chars").as("pooled_value"))
     bySrc.join(broadcast(pooled), Seq("decile"))
       .select(col("source"), col("decile"), col("src_value"),

@@ -83,19 +83,25 @@ object Queries49 {
     * algorithm shape than scikit's stack PAVA yet provably the same
     * function.
     *
-    * Scale: ntile decile assignment on the |orders| aggregate feeds a
-    * 10-row cumulative table; the minimax grid is 10³ driver-free
-    * broadcast algebra.
+    * Scale: decile assignment over the orders FACT rides ScaleRank
+    * (range-partitioned global rank + closed-form ntile — no
+    * one-partition WindowExec; VERDICT r11 #3); the 10-row decile
+    * table is materialized once (its five downstream consumers — cum,
+    * j, k, the grid join, the final join — each re-ran the fact pass
+    * before), and the minimax grid is 10³ driver-free broadcast
+    * algebra.
     */
   def q247(s: SparkSession, d: String): DataFrame = {
-    val byDecile = orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-          .otherwise(0L).as("y"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val ranked = ScaleRank.withGlobalRank(
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y")),
+      "rn", "n_tot", col("o_totalprice"), col("o_orderkey"))
+    val byDecile = Materialize.truncate(ranked
+      .withColumn("decile", ScaleRank.ntileExpr("rn", "n_tot", 10))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")))
     val cum = byDecile
       .withColumn("cn", sum(col("n")).over(Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, 0)))

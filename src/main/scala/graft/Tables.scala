@@ -33,11 +33,25 @@ object Tables {
     */
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // last appId seen: the dead-app sweep below only needs to run when
+  // the context was actually restarted in-JVM, not on every call
+  // (ADVICE r11 — a full keyset rescan per table() call is wasted work
+  // on the 305-query bench's ~1.5 calls/query)
+  private val lastAppId = new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** STALENESS CONTRACT (ADVICE r11, also TESTDATA.md): the memo pins
+    * the first file listing for the life of the application. The
+    * driver's testdata is immutable per round so this is never stale
+    * there; regenerating a parquet under an sf dir MID-SESSION would be
+    * served from the pinned listing with no error — restart the session
+    * (new appId) after any in-place regeneration.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    // evict entries of dead applications (restarted context in-JVM)
-    tableCache.keys.filterNot(_.startsWith(appId + "|"))
-      .foreach(tableCache.remove)
+    if (lastAppId.getAndSet(appId) != appId) {
+      // context restarted in-JVM: evict entries of dead applications
+      tableCache.keys.filterNot(_.startsWith(appId + "|"))
+        .foreach(tableCache.remove)
+    }
     tableCache.getOrElseUpdate(s"$appId|$sfDir|$name",
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }

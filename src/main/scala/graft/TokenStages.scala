@@ -35,12 +35,12 @@ object TokenStages {
     */
   def docToks(s: SparkSession, d: String): DataFrame =
     toksCache.getOrCompute(s, d) {
-      val base = Tables.documents(s, d).filter(col("text").isNotNull)
-      // schema-reduced test fixtures may lack `source`; only the
-      // bigram arm consumes it, and only over the real corpus schema
-      val src = if (base.columns.contains("source")) col("source")
-        else lit(null).cast("string").as("source")
-      base.select(col("doc_id"), src.as("source"),
+      // `source` is required, not defaulted (ADVICE r11): a corpus
+      // missing it must fail analysis loudly here — a silent
+      // null-literal substitute would let q212/q164 aggregate the
+      // whole corpus under one null source, plausible-but-wrong
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
           split(col("text"), " ").as("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }

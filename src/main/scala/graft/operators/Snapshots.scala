@@ -50,9 +50,13 @@ object Snapshots {
     * real table format keeps in metadata).
     */
   def writeVersion(base: DataFrame, dir: String, k: Int): Manifest = {
-    val v = versionDf(base, k)
-    v.write.mode("overwrite").parquet(s"$dir/v=$k")
-    val r = v.agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    versionDf(base, k).write.mode("overwrite").parquet(s"$dir/v=$k")
+    // commit-time accounting from the COMMITTED files (what a table
+    // format records): a narrow n_chars read of what just landed —
+    // re-aggregating versionDf would re-run the full-text md5 pass a
+    // second time per version (the lazy-double-evaluation cost class)
+    val r = base.sparkSession.read.parquet(s"$dir/v=$k")
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
     Manifest(k, commitDay = k, r.getLong(0), r.getLong(1))
   }
 

@@ -108,6 +108,49 @@ object PlanCheck {
 
   def shuffleCount(df: DataFrame): Int = countOf[ShuffleExchangeExec](df)
 
+  /** True if some UNPARTITIONED WindowExec consumes a FACT-table file
+    * scan with no aggregate in between — the one-task-at-100-TB plan
+    * shape VERDICT r11 #3 banned (WindowExec with empty partitionSpec
+    * moves ALL input to a single partition). An aggregate between the
+    * scan and the window reduces the frame to aggregate scale (per-day
+    * series, value histograms, decile tables — the permitted class);
+    * tiny dims (region/nation) are exempt; cached/checkpointed
+    * segments are not descended into (their shape is pinned where
+    * built, per this object's convention).
+    */
+  def unpartitionedWindowOverFactScan(df: DataFrame): Boolean = {
+    val facts = Set("lineitem", "orders", "events", "customer", "part",
+      "supplier", "documents", "embeddings")
+    def isFactScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(p =>
+          facts.contains(p.getName.stripSuffix(".parquet")) ||
+            p.toString.contains("/events_us/")) // µs-normalized events
+      case _ => false
+    }
+    def rawReach(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => false
+      // limits bound the frame to k (or k per partition) rows — a
+      // window above a top-k / rank-filter (WindowGroupLimit pushes
+      // rank<=k BELOW the shuffle) sees bounded input at any scale
+      case _: TakeOrderedAndProjectExec => false
+      case _: org.apache.spark.sql.execution.GlobalLimitExec |
+           _: org.apache.spark.sql.execution.LocalLimitExec |
+           _: org.apache.spark.sql.execution.CollectLimitExec => false
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => false
+      case s if isFactScan(s) => true
+      case a: AdaptiveSparkPlanExec => rawReach(a.executedPlan)
+      case q: QueryStageExec => rawReach(q.plan)
+      case r: ReusedExchangeExec => rawReach(r.child)
+      case other => other.children.exists(rawReach)
+    }
+    nodes(df).exists {
+      case w: WindowExec if w.partitionSpec.isEmpty => rawReach(w.child)
+      case _ => false
+    }
+  }
+
   /** File-source scans (parquet/csv/json) in the tree. */
   def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
     collect[FileSourceScanExec](df)

@@ -134,8 +134,11 @@ class TrainPipeSpec extends SparkSpec {
     // model sanity on a synthetic corpus: the doc made of the corpus'
     // commonest token must be more probable than the rare-token doc
     import spark.implicits._
+    // schema-complete fixture: docToks REQUIRES `source` (round 12 —
+    // the silent null-source fallback is gone, per ADVICE r11)
     val synth = (Seq.fill(9)("common common common") :+ "rare")
-      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "synth") }
+      .toDF("doc_id", "text", "source")
     val sdir = java.nio.file.Files.createTempDirectory("graft_q147_").toString
     synth.write.mode("overwrite").parquet(s"$sdir/documents.parquet")
     val nlls = Queries14.q147(spark, sdir).collect()
