@@ -135,12 +135,15 @@ object Queries21 {
       .agg(sort_array(collect_list(struct(col("id"),
         expr("substring(name, pos + 1, 1)").as("ch")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    buckets.select(col("pos"), explode(expr(
-        "flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms)), y -> struct(" +
-          "x.id AS a_id, x.ch AS a_ch, y.id AS b_id, y.ch AS b_ch))))"))
-        .as("p"))
-      .select(col("pos"), col("p.*"))
+    // member-pair expansion via the Combos kernel (round 12, the
+    // q234/q279 rewrite): one tight loop per bucket row instead of an
+    // interpreted lambda frame + sub-array copy per slice() step —
+    // hot buckets pay C(n,2) either way, but without the HOF
+    // interpretation overhead that inflates on throttled windows
+    buckets.select(col("pos"), explode(
+        graft.functions.TextExpressions.combos(col("ms"), 2)).as("p"))
+      .select(col("pos"), col("p.a.id").as("a_id"), col("p.a.ch").as("a_ch"),
+        col("p.b.id").as("b_id"), col("p.b.ch").as("b_ch"))
       .filter(col("a_ch") =!= col("b_ch"))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n_pairs"),

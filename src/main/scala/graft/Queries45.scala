@@ -90,11 +90,14 @@ object Queries45 {
     // the persisted sets — no countDistinct expand over the fact rows
     val nOrders = basketSets(s, d).agg(count(lit(1)).as("n_orders"))
     val itemCnt = b.groupBy(col("brand")).agg(count(lit(1)).as("n_item"))
+    // pair expansion via the Combos kernel (one tight loop per basket
+    // row) — the nested transform/slice HOF form interpreted a lambda
+    // frame per step AND copied a sub-array per i (round 12; q279's
+    // triple form measured the HOF class 2-7x worse on throttled
+    // windows)
     val pairCnt = basketSets(s, d)
-      .select(explode(expr(
-        "flatten(transform(bs, (x, i) -> " +
-          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
+      .select(explode(
+        graft.functions.TextExpressions.combos(col("bs"), 2)).as("p"))
       .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n_ab"))
     // in-row flip: a union of pairCnt with its mirror re-runs the
     // whole expansion per reference (r10 — it was the query's

@@ -39,20 +39,19 @@ object Queries62 {
     // customers hold ~20 brands (C(20,2)≈190 lambda steps/row — join
     // wins) while orders hold ~3 (C(3,3)≈1-4 steps/row — the join's
     // two extra 520k-row shuffles dominate, HOF wins).
-    // index-sequence form, not nested slice(): each slice() copies a
-    // sub-array of strings per (i,j) step, ~O(n³) string copies per
-    // row; sequence() allocates plain int ranges and bs[i] indexes in
-    // place (measured r10: 1.02 → 0.75 s at sf0.1, same 1.1M triples)
-    // size >= 3 guard is load-bearing: sequence(a, b) DESCENDS when
-    // b < a, so an unguarded 1-brand basket would emit [0,-1,-2] rows
+    // triple expansion via the Combos kernel (round 12): the r10
+    // index-sequence HOF form still interpreted ~3-5 boxed lambda
+    // frames per triple (1.1M triples at sf0.1) — exactly the CPU
+    // class that inflated 2-7x on throttled driver windows (r11
+    // passes 1.6/6.5/11.2 s on identical code). One tight loop per
+    // basket row emits the same structs; C(n<3, 3) = 0 rows makes the
+    // old size>=3 guard a plain pruning filter rather than a
+    // correctness guard (sequence()'s descending-range hazard is gone
+    // with the HOFs).
     val triples = Queries45.basketSets(s, d)
       .filter(size(col("bs")) >= 3)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(bs) - 3), i ->
-          |  flatten(transform(sequence(i + 1, size(bs) - 2), j ->
-          |    transform(sequence(j + 1, size(bs) - 1), k ->
-          |      struct(bs[i] AS a, bs[j] AS b, bs[k] AS c))))))""".stripMargin))
-        .as("t"))
+      .select(explode(
+        graft.functions.TextExpressions.combos(col("bs"), 3)).as("t"))
       .groupBy(col("t.a"), col("t.b"), col("t.c"))
       .agg(count(lit(1)).as("n_abc"))
       .filter(col("n_abc") >= 5)

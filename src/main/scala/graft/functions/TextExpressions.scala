@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -314,4 +314,93 @@ object TextExpressions {
     */
   def quality_stats(text: Column): Column =
     GraftShim.column(QualityStats(GraftShim.expression(text)))
+
+  /** k-combination expansion over a string array — the basket-mining
+    * inner loop (q234 pairs, q279 triples). The composable form
+    * (nested transform/sequence/slice HOFs) interprets one lambda
+    * frame per index step: ~1.1M triples at sf0.1 cost ~3-5 boxed
+    * lambda calls each, and CPU-throttled bench windows inflated
+    * exactly this query hardest (r11 driver passes 1.6-11.2 s on
+    * identical code). One tight loop per row emits the same structs;
+    * output order is combination-lexicographic over input positions,
+    * and every consumer aggregates (order-free). Elements are emitted
+    * BY REFERENCE (UTF8String views into the input array, valid for
+    * the generator's per-row lifetime — the explode above copies each
+    * struct before the next input row). CodegenFallback: per-call
+    * work is O(C(n,k)), dwarfing the boxed-call overhead (the
+    * ShingleHashes / JlAudit convention, SURVEY §2.9).
+    */
+  case class Combos(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k == 2 || k == 3, s"Combos supports k=2 or 3, got $k")
+    private def elemType: DataType = child.dataType match {
+      case ArrayType(et, _) => et
+      case other => other // unresolved/invalid input surfaces in checkInputDataTypes
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(_, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"Combos needs an array input, got ${other.sql}")
+      }
+    override def dataType: DataType = ArrayType(
+      StructType((if (k == 2) Seq("a", "b") else Seq("a", "b", "c"))
+        .map(f => org.apache.spark.sql.types.StructField(f, elemType,
+          nullable = true))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = elemType
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val xs = new Array[Any](n)
+      var i = 0
+      while (i < n) { xs(i) = arr.get(i, et); i += 1 }
+      val m = if (k == 2) n * (n - 1) / 2
+              else n * (n - 1) * (n - 2) / 6
+      val out = new Array[Any](m)
+      var w = 0
+      if (k == 2) {
+        var a = 0
+        while (a < n - 1) {
+          var b = a + 1
+          while (b < n) {
+            out(w) = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](xs(a), xs(b)))
+            w += 1; b += 1
+          }
+          a += 1
+        }
+      } else {
+        var a = 0
+        while (a < n - 2) {
+          var b = a + 1
+          while (b < n - 1) {
+            var c = b + 1
+            while (c < n) {
+              out(w) = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](xs(a), xs(b), xs(c)))
+              w += 1; c += 1
+            }
+            b += 1
+          }
+          a += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** All k-combinations (positions i<j[<l]) of an array as an array of
+    * structs (fields a,b[,c]) — see [[Combos]].
+    */
+  def combos(arr: Column, k: Int): Column =
+    GraftShim.column(Combos(GraftShim.expression(arr), k))
 }

@@ -59,6 +59,40 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("Combos kernel == the HOF pair/triple expansion it replaced") {
+    import spark.implicits._
+    val bs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("string").as("p"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p"))).as("bs"))
+    val kPairs = bs.select(explode(
+      graft.functions.TextExpressions.combos(col("bs"), 2)).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val hPairs = bs.select(explode(expr(
+      "flatten(transform(bs, (x, i) -> " +
+        "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+      .as("p")).select(col("p.a"), col("p.b"))
+    assert(kPairs.exceptAll(hPairs).isEmpty && hPairs.exceptAll(kPairs).isEmpty)
+    val kTrip = bs.filter(size(col("bs")) >= 3).select(explode(
+      graft.functions.TextExpressions.combos(col("bs"), 3)).as("t"))
+      .select(col("t.a"), col("t.b"), col("t.c"))
+    val hTrip = bs.filter(size(col("bs")) >= 3).select(explode(expr(
+      """flatten(transform(sequence(0, size(bs) - 3), i ->
+        |  flatten(transform(sequence(i + 1, size(bs) - 2), j ->
+        |    transform(sequence(j + 1, size(bs) - 1), k ->
+        |      struct(bs[i] AS a, bs[j] AS b, bs[k] AS c))))))""".stripMargin))
+      .as("t")).select(col("t.a"), col("t.b"), col("t.c"))
+    assert(kTrip.exceptAll(hTrip).isEmpty && hTrip.exceptAll(kTrip).isEmpty)
+    // n < k emits zero combinations (the old size guard is now pruning)
+    val tiny = Seq(Seq("x"), Seq("x", "y")).toDF("bs")
+    assert(tiny.select(explode(
+      graft.functions.TextExpressions.combos(col("bs"), 3)).as("t"))
+      .count() == 0)
+    assert(tiny.select(explode(
+      graft.functions.TextExpressions.combos(col("bs"), 2)).as("t"))
+      .count() == 1)
+  }
+
   test("docToks fails loudly when the corpus lacks `source` (no silent null fallback)") {
     val dir = Tables.scratchDir("srcless_docs", "fixture")
     Tables.documents(spark, sf).select(col("doc_id"), col("text"))
