@@ -138,6 +138,12 @@ object Queries28 {
     * or bucket-joined above it — same plan shape.
     */
   def q198(s: SparkSession, d: String): DataFrame = {
+    // `toks` is read twice (dict census + encode join) from the raw
+    // scan. A TokenStages-arm variant (md5(array_join(toks)) over the
+    // cached arrays) was A/B-measured WORSE in round 12 (~1.45 vs
+    // 1.24 window-normalized): re-joining the token array into a full
+    // document string per reference costs more than the columnar
+    // parquet text read it saves. Kept on the direct scan.
     val toks = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("orig_fp"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))

@@ -350,6 +350,88 @@ object QueriesExt {
         col("total_var"))
   }
 
+  /** q50c — PCA RECONSTRUCTION-QUALITY GATE (VERDICT r11 #7, the
+    * stretch after q50b's invariants): an APPROXIMATION-QUALITY bound
+    * the DuckDB oracle can check without ever seeing an eigenvector.
+    * Eckart-Young: the rank-k PCA minimizes centered reconstruction
+    * error over ALL rank-k orthonormal projections — in particular it
+    * must beat the best k COORDINATE AXES, whose residual the oracle
+    * recomputes exactly from the raw parquet (per-dim variances via
+    * the q246/q50b decimal-moment convention, top-k by (var desc, dim
+    * asc)). A PCA that fit garbage loses to the axes baseline and
+    * flips the boolean → driver hash mismatch. Spark-side centered
+    * residual uses the identities Σ‖x−μ‖² = Σ‖x‖² − n‖μ‖² and
+    * Σ‖Vᵀ(x−μ)‖² = Σ‖Vᵀx‖² − n‖Vᵀμ‖² — exact decimal data sums, the
+    * μ/Vᵀμ corrections are 64-row model-side driver math (the q50b
+    * Gram convention; both collects are bounded: 64 dim rows + 1 sums
+    * row, documented here per the bounded-collect rule).
+    *
+    * Scale: one PCA fit (q50's distributed covariance), one exploded
+    * per-dim aggregate, one 1-row data aggregate. Tolerances are
+    * relative (1e-4 of the centered total) so a correct PCA can never
+    * flip on decimal-rounding noise.
+    */
+  def q50c(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.Reduce
+    import graft.functions.VectorExpressions
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val emb = embeddings(s, d)
+    val (pcdf, pcm) = Reduce.pcaWithModel(emb, "embedding", 3)
+    val k = pcm.numCols
+    val dimRows = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(col("dim"), col("n"), (col("sx") / col("n")).as("mu"),
+        round(col("sxx") / col("n") - (col("sx") / col("n")) *
+          (col("sx") / col("n")), 6).cast("decimal(18,6)").as("var6"))
+      .collect() // bounded: one row per embedding dim (64)
+    val nVecs = dimRows.head.getLong(1)
+    val mu = dimRows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    val muNormSq = mu.map(m => m * m).sum
+    // Vᵀμ on the driver from the fitted 64×k model
+    var vmuSq = 0.0
+    for (j <- 0 until k) {
+      var vj = 0.0
+      var r = 0
+      while (r < pcm.numRows) { vj += pcm(r, j) * mu(r); r += 1 }
+      vmuSq += vj * vj
+    }
+    val vars = dimRows.map(r => BigDecimal(r.getDecimal(3)))
+    val dimsSorted = dimRows.map(_.getInt(0)).zip(vars)
+      .sortBy { case (dim, v) => (-v, dim) }
+    val topk = dimsSorted.take(k).map(_._2).sum
+    val traceRaw = vars.sum
+    def r4(v: BigDecimal): Double =
+      v.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sums = pcdf.select(
+        VectorExpressions.sumsq(col("embedding")).as("xsq"),
+        (element_at(col("principal_components"), 1) *
+          element_at(col("principal_components"), 1) +
+         element_at(col("principal_components"), 2) *
+          element_at(col("principal_components"), 2) +
+         element_at(col("principal_components"), 3) *
+          element_at(col("principal_components"), 3)).as("pcsq"))
+      .agg(sum(col("xsq").cast(dec)).cast("double"),
+        sum(col("pcsq").cast(dec)).cast("double"))
+      .collect()(0) // bounded: the 1-row moment aggregate
+    val centeredTotal = sums.getDouble(0) - nVecs * muNormSq
+    val centeredCaptured = sums.getDouble(1) - nVecs * vmuSq
+    val residPca = centeredTotal - centeredCaptured
+    val axesResid = (traceRaw - topk).toDouble * nVecs
+    val tol = 1e-4 * math.max(centeredTotal, 1.0)
+    import s.implicits._
+    Seq((nVecs, k, r4(traceRaw), r4(topk),
+      residPca >= -tol,
+      residPca <= axesResid + tol,
+      centeredCaptured >= -tol && centeredCaptured <= centeredTotal + tol))
+      .toDF("n_vecs", "k", "total_var", "axes_var_topk",
+        "resid_nonneg_ok", "pca_beats_axes_ok", "capture_in_unit_ok")
+  }
+
   /** Balanced (stratified-cap) sampling: at most 20 docs per language,
     * chosen by deterministic md5 order — the quota/balance pass of a
     * training-data pipeline, reproducible across runs and engines
@@ -422,6 +504,7 @@ object QueriesExt {
     "q49_fft_features" -> (q49 _),
     "q50_pca_components" -> (q50 _),
     "q50b_pca_invariants" -> (q50b _),
+    "q50c_pca_reconstruction" -> (q50c _),
     "q51_balanced_sample" -> (q51 _),
     "q52_hash_sample" -> (q52 _),
     "q53_redact" -> (q53 _),
@@ -788,6 +871,32 @@ object OracleExt {
         |  true AS explained_le_total_ok, true AS projection_contractive_ok,
         |  t.total_var
         |FROM c, t""".stripMargin,
+
+    // q50c: the axes-baseline numbers are recomputed EXACTLY from the
+    // raw parquet (decimal-moment per-dim variances, top-3 by
+    // (var desc, dim asc)); the quality booleans are REQUIRED literals
+    // — a PCA losing to the coordinate-axes baseline hash-fails here
+    "q50c_pca_reconstruction" ->
+      """WITH x AS (SELECT vec_id, r.i AS dim,
+        |    CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY dim),
+        |v AS (SELECT dim,
+        |    CAST(round(sxx / n - (sx / n) * (sx / n), 6)
+        |      AS DECIMAL(18,6)) AS var
+        |  FROM m),
+        |t AS (SELECT round(CAST(sum(var) AS DOUBLE), 4) AS total_var FROM v),
+        |tk AS (SELECT round(CAST(sum(var) AS DOUBLE), 4) AS axes_var_topk
+        |  FROM (SELECT var FROM v ORDER BY var DESC, dim ASC LIMIT 3)),
+        |c AS (SELECT count(*) AS n_vecs FROM embeddings)
+        |SELECT c.n_vecs, 3 AS k, t.total_var, tk.axes_var_topk,
+        |  true AS resid_nonneg_ok, true AS pca_beats_axes_ok,
+        |  true AS capture_in_unit_ok
+        |FROM c, t, tk""".stripMargin,
 
     "q51_balanced_sample" ->
       """SELECT doc_id, lang, rn FROM (

@@ -93,6 +93,17 @@ class Round12Spec extends SparkSpec {
       .count() == 1)
   }
 
+  test("q50c: PCA beats the coordinate-axes baseline with real margin") {
+    val r = SparkEntry.queries("q50c_pca_reconstruction")(spark, sf)
+      .collect().head
+    assert(r.getAs[Boolean]("resid_nonneg_ok"))
+    assert(r.getAs[Boolean]("pca_beats_axes_ok"))
+    assert(r.getAs[Boolean]("capture_in_unit_ok"))
+    // sanity: the axes baseline is a strict subset of the variance
+    assert(r.getAs[Double]("axes_var_topk") < r.getAs[Double]("total_var"))
+    assert(r.getAs[Long]("n_vecs") > 0 && r.getAs[Int]("k") == 3)
+  }
+
   test("docToks fails loudly when the corpus lacks `source` (no silent null fallback)") {
     val dir = Tables.scratchDir("srcless_docs", "fixture")
     Tables.documents(spark, sf).select(col("doc_id"), col("text"))
