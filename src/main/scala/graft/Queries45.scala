@@ -142,7 +142,12 @@ object Queries45 {
     // expansion is ~190 pairs × |customers| — at that fanout the
     // interpreted nested-transform lambdas measured 2.3 s while the
     // equi-join's generated loop stays inside whole-stage codegen
-    // with map-side partial aggregation to ≤C(25,2) pair rows
+    // with map-side partial aggregation to ≤C(25,2) pair rows.
+    // Re-measured round 12 with the Combos KERNEL (groupBy-custkey
+    // collect_set + tight C(n,2) loop): 1.17 vs 0.86 s same-window —
+    // the set-collect shuffle + per-pair struct allocation still
+    // loses to the join's alloc-free generated loop at 190
+    // pairs/row. The join stays.
     val co = cb.join(cb.select(col("o_custkey"), col("brand").as("b")),
         Seq("o_custkey"))
       .filter(col("brand") < col("b"))

