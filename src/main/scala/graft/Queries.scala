@@ -19,6 +19,9 @@ import graft.functions.{Signal, Text, Vectors}
   * 1000-executor / 100 TB deployment.
   */
 object Queries {
+  // q17 snapshot-dir counter: one fresh lake root per invocation
+  private val q17Seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   import Tables._
 
   private def ev(s: SparkSession, d: String) = events(s, d)
@@ -193,7 +196,31 @@ object Queries {
         }
         rm(dir)
       }
-    val out = s"/root/repo/target/lake/q17_${d.replaceAll("[^A-Za-z0-9]", "_")}_p$pid"
+    // fresh snapshot dir per INVOCATION (round 12): mode("overwrite")
+    // on a reused path first walks and deletes the previous ~150
+    // partition dirs — a snapshot-style write to a new root (what
+    // table formats do per commit) skips that delete. Our own OLDER
+    // snapshots are swept here too (keeping the immediately previous
+    // one: its DataFrame may still be lazily held by a caller), so a
+    // long bench session stays bounded at ≤2 lakes per (sf, pid);
+    // other pids' lakes remain the dead-pid janitor's job above.
+    val seq = q17Seq.incrementAndGet()
+    val base = s"q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && n.startsWith(base + "_i") && n.endsWith(s"_p$pid") &&
+          n.stripPrefix(base + "_i").takeWhile(_.isDigit).toLongOption
+            .exists(_ <= seq - 2)
+      }
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+    val out = s"/root/repo/target/lake/${base}_i${seq}_p$pid"
     // partition-aligned repartition: one task/file per (event_type, day)
     // directory instead of |tasks|×|dirs| small files — the standard
     // lake-write shape (at larger scale add a file-count salt)
