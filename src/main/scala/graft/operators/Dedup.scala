@@ -481,9 +481,21 @@ object Dedup {
         // n_windows / maxDf and in practice are the rare boilerplate
         // tail — a small (often broadcast) side instead of a second
         // full-width shuffle of the window rows
-        val hot = wins.select(col("doc_id"), col("fp")).distinct()
-          .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
-          .filter(col("fp_df") > maxDf)
+        // materialized (round 12): `kept` heads BOTH sides of the pair
+        // self-join below, and the plan audit showed the df census
+        // (distinct + groupBy, two exchanges over every window row)
+        // re-running once PER SIDE — the over-cap list itself is tiny
+        // (bounded by n_windows/maxDf), so truncating it costs one
+        // small eager job and halves the census work. A/B at sf0.1
+        // read a WASH (1.13 vs 1.02 s on near-equal windows — the
+        // saved census ≈ the truncate's eager job at this scale);
+        // kept anyway because the trade is scale-asymmetric: the
+        // census side grows with the corpus, the truncated frame
+        // stays bounded by n_windows/maxDf
+        val hot = graft.Materialize.truncate(
+          wins.select(col("doc_id"), col("fp")).distinct()
+            .groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+            .filter(col("fp_df") > maxDf))
         wins.join(hot.select(col("fp")), Seq("fp"), "left_anti")
       } else wins
     val pairs = kept
