@@ -387,7 +387,8 @@ object QueriesExt {
         sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mu"),
         round(col("sxx") / col("n") - (col("sx") / col("n")) *
-          (col("sx") / col("n")), 6).cast("decimal(18,6)").as("var6"))
+          (col("sx") / col("n")), 6).cast("decimal(18,6)").as("var6"),
+        col("sxx"))
       .collect() // bounded: one row per embedding dim (64)
     val nVecs = dimRows.head.getLong(1)
     val mu = dimRows.sortBy(_.getInt(0)).map(_.getDouble(2))
@@ -407,19 +408,21 @@ object QueriesExt {
     val traceRaw = vars.sum
     def r4(v: BigDecimal): Double =
       v.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Σ‖x‖² = Σ_d sxx_d — the same exact-decimal addends the dim
+    // stats already summed (decimal addition is order-free), so the
+    // data pays only ONE more pass: the projected-norm aggregate
+    val sumXsq = dimRows.map(_.getDouble(4)).sum
     val sums = pcdf.select(
-        VectorExpressions.sumsq(col("embedding")).as("xsq"),
         (element_at(col("principal_components"), 1) *
           element_at(col("principal_components"), 1) +
          element_at(col("principal_components"), 2) *
           element_at(col("principal_components"), 2) +
          element_at(col("principal_components"), 3) *
           element_at(col("principal_components"), 3)).as("pcsq"))
-      .agg(sum(col("xsq").cast(dec)).cast("double"),
-        sum(col("pcsq").cast(dec)).cast("double"))
+      .agg(sum(col("pcsq").cast(dec)).cast("double"))
       .collect()(0) // bounded: the 1-row moment aggregate
-    val centeredTotal = sums.getDouble(0) - nVecs * muNormSq
-    val centeredCaptured = sums.getDouble(1) - nVecs * vmuSq
+    val centeredTotal = sumXsq - nVecs * muNormSq
+    val centeredCaptured = sums.getDouble(0) - nVecs * vmuSq
     val residPca = centeredTotal - centeredCaptured
     val axesResid = (traceRaw - topk).toDouble * nVecs
     val tol = 1e-4 * math.max(centeredTotal, 1.0)
