@@ -19,8 +19,11 @@ import graft.functions.{Signal, Text, Vectors}
   * 1000-executor / 100 TB deployment.
   */
 object Queries {
-  // q17 snapshot-dir counter: one fresh lake root per invocation
-  private val q17Seq = new java.util.concurrent.atomic.AtomicLong(0)
+  // q17 snapshot-dir counters, keyed per sanitized dataset base so the
+  // "keep the immediately previous snapshot" guarantee holds per (d, pid)
+  // lineage even when several sf dirs interleave in one JVM (ADVICE r12)
+  private val q17Seq = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
 
   import Tables._
 
@@ -204,8 +207,9 @@ object Queries {
     // one: its DataFrame may still be lazily held by a caller), so a
     // long bench session stays bounded at ≤2 lakes per (sf, pid);
     // other pids' lakes remain the dead-pid janitor's job above.
-    val seq = q17Seq.incrementAndGet()
     val base = s"q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val seq = q17Seq.getOrElseUpdate(base,
+      new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         val n = f.getName

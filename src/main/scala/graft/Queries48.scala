@@ -155,9 +155,12 @@ object Queries48 {
     * value at the same relative rank — all integer ranks and values,
     * no float anywhere.
     *
-    * Scale: per-source ranks partition by source; the POOLED rank
-    * rides ScaleRank (range-partitioned global rank — no one-partition
-    * window anywhere). This is still the exactness path whose
+    * Scale: per-source ranks partition by source; the POOLED decile
+    * value comes from the n_chars VALUE HISTOGRAM (the q174 form: a
+    * groupBy-value aggregate, a small cumsum over distinct values,
+    * and a closed-form rank→value lookup — no one-partition window
+    * anywhere, and cheaper than a global ScaleRank since the sort key
+    * is domain-bounded). This is still the exactness path whose
     * production twin is the q159/q165 mergeable quantile sketch. The
     * decile grid multiplies a narrow 3-column projection by 10, then
     * filters to exactly 10 rows per scope.

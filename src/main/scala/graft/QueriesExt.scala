@@ -412,13 +412,12 @@ object QueriesExt {
     // stats already summed (decimal addition is order-free), so the
     // data pays only ONE more pass: the projected-norm aggregate
     val sumXsq = dimRows.map(_.getDouble(4)).sum
+    // pcsq built from the SAME k the fitted model reports, so a k
+    // change upstream cannot silently under/over-count (ADVICE r12)
     val sums = pcdf.select(
-        (element_at(col("principal_components"), 1) *
-          element_at(col("principal_components"), 1) +
-         element_at(col("principal_components"), 2) *
-          element_at(col("principal_components"), 2) +
-         element_at(col("principal_components"), 3) *
-          element_at(col("principal_components"), 3)).as("pcsq"))
+        (1 to k).map(i => element_at(col("principal_components"), i) *
+            element_at(col("principal_components"), i))
+          .reduce(_ + _).as("pcsq"))
       .agg(sum(col("pcsq").cast(dec)).cast("double"))
       .collect()(0) // bounded: the 1-row moment aggregate
     val centeredTotal = sumXsq - nVecs * muNormSq

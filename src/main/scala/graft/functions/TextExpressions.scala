@@ -360,8 +360,16 @@ object TextExpressions {
       val xs = new Array[Any](n)
       var i = 0
       while (i < n) { xs(i) = arr.get(i, et); i += 1 }
-      val m = if (k == 2) n * (n - 1) / 2
-              else n * (n - 1) * (n - 2) / 6
+      // size in Long: n ≥ ~2344 (k=3) / ~46342 (k=2) overflows Int and
+      // would mis-size the output instead of erroring (ADVICE r12)
+      val mL = if (k == 2) n.toLong * (n - 1) / 2
+               else n.toLong * (n - 1) * (n - 2) / 6
+      if (mL > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"Combos(k=$k): input of $n elements expands to $mL tuples, " +
+            "exceeding the single-array limit; cap the input list " +
+            "(e.g. slice to the per-key top items) before expanding")
+      val m = mL.toInt
       val out = new Array[Any](m)
       var w = 0
       if (k == 2) {

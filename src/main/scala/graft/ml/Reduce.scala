@@ -43,8 +43,13 @@ object Reduce {
     if (lastApp.getAndSet(appId) != appId)
       modelCache.keys.filterNot(_.startsWith(appId + "|"))
         .foreach(modelCache.remove)
+    // key on the full canonicalized plan TEXT, not its 32-bit
+    // semanticHash: Spark treats semanticHash as a bucketing hint and
+    // confirms with sameResult — a hash collision here would silently
+    // serve the wrong model (ADVICE r12). A handful of entries per
+    // session, so the long key costs nothing.
     val key = appId + "|" +
-      df.queryExecution.analyzed.canonicalized.semanticHash() + "|" +
+      df.queryExecution.analyzed.canonicalized.toString + "|" +
       arrayCol + "|" + k
     modelCache.getOrElseUpdate(key, fitPca(df, arrayCol, k))
   }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+/** Round-13 hardening gates (VERDICT r12 #4 + ADVICE r12). */
+class Round13Spec extends SparkSpec {
+
+  test("docToks fails loudly on a corpus missing `source` (no silent null substitute)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r13_nosource").toString
+    Seq(("d1", "hello world"), ("d2", "tok tok tok"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val ex = intercept[AnalysisException] {
+      TokenStages.docToks(spark, dir).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("source"))
+  }
+
+  test("q17 snapshot sequence is per-dataset: interleaved sf dirs keep each lineage's previous snapshot") {
+    // two datasets interleaved A,B,A,B — after the second A invocation
+    // the FIRST A snapshot (seq 1, i.e. seq-1 of A's own counter) must
+    // still exist; with a shared counter A's first snapshot would have
+    // been swept by the global seq-2 rule.
+    val pid = ProcessHandle.current().pid()
+    def snaps(d: String): Seq[String] = {
+      val base = s"q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Option(new java.io.File("/root/repo/target/lake").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(base + "_i") &&
+          f.getName.endsWith(s"_p$pid"))
+        .map(_.getName).toSeq.sorted
+    }
+    val a = sf
+    val b = "/root/testdata/sf0.01"
+    Queries.q17(spark, a).collect()
+    Queries.q17(spark, b).collect()
+    val aAfterFirst = snaps(a)
+    Queries.q17(spark, a).collect()
+    Queries.q17(spark, b).collect()
+    // each dataset retains its own previous snapshot
+    assert(snaps(a).intersect(aAfterFirst).nonEmpty,
+      s"A's previous snapshot swept: before=${aAfterFirst} after=${snaps(a)}")
+    assert(snaps(a).size == 2 && snaps(b).size == 2,
+      s"expected 2 retained snapshots per dataset, got A=${snaps(a)} B=${snaps(b)}")
+  }
+
+  test("Combos errors descriptively instead of overflowing on huge inputs (bound documented)") {
+    // n=3000 at k=3 → 4.5e9 tuples: Int math would go negative and
+    // throw NegativeArraySizeException; the kernel must raise a clear
+    // IllegalArgumentException instead. Evaluate the expression
+    // directly (driver-side) so the test is cheap.
+    val big = org.apache.spark.sql.catalyst.expressions.Literal(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate[Any](3000)(i =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"t$i"))),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val combos = graft.functions.TextExpressions.Combos(big, 3)
+    val ex = intercept[IllegalArgumentException] { combos.eval(null) }
+    assert(ex.getMessage.contains("cap the input list"))
+  }
+}
