@@ -138,15 +138,18 @@ object Queries62 {
     * shuffle → ≤max-count-row freq-of-freqs aggregate → 5 rows.
     */
   def q281(s: SparkSession, d: String): DataFrame = {
-    val counts = TokenStages.docToks(s, d)
-      .filter(size(col("toks")) >= 5)
-      .select(explode(expr(
-        // concat_ws over five element_at lookups, not
-        // array_join(slice(…)) — same string, no per-gram array
-        // allocation inside the interpreted lambda
-        "transform(sequence(0, size(toks) - 5), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
-          "toks[i+3], toks[i+4]))")).as("g"))
+    // 5-grams ride as per-occurrence XXH64 hashes (NgramHashes kernel,
+    // round 13): the interpreted transform-lambda that built each
+    // ~30-byte gram string — and shuffled it as the census key — is
+    // replaced by one kernel pass emitting 8-byte longs. The
+    // frequency-of-frequencies table N_r is identical modulo 64-bit
+    // collisions (~|grams|²/2⁶⁵, the q125/q37 disclaimer — far below
+    // any N_r integer boundary on these corpora). Docs with < 5
+    // tokens emit zero grams either way (kernel convention matches
+    // the old size(toks) >= 5 filter).
+    val counts = documents(s, d).filter(col("text").isNotNull)
+      .select(explode(
+        graft.functions.TextExpressions.ngram_hashes(col("text"), 5)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("r"))
     // the freq-of-freqs table is ≤max-count rows — materialize it so
     // its four consumers (rows, shifted join, N₁ probe, totals) run

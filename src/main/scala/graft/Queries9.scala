@@ -55,8 +55,6 @@ object Queries9 {
       .orderBy(col("cohort"), col("offset"))
   }
 
-  private val PpjoinT = 0.8
-
   /** q125 — PREFIX-FILTER SET-SIMILARITY JOIN (AllPairs/PPJoin shape,
     * Chaudhuri/Bayardo): distinct 3-gram shingles per doc ordered
     * rarest-first (global df, then shingle); a doc of n shingles
@@ -74,68 +72,29 @@ object Queries9 {
     * Joins are shingle-keyed equi-joins; verify touches candidates
     * only.
     */
-  def q125(s: SparkSession, d: String): DataFrame = {
+  def q125(s: SparkSession, d: String): DataFrame =
     // tokens ride as XXH64 hashes, not strings (round 12): every
     // downstream shuffle/sort/join key shrinks from a ~25-byte
-    // 3-gram string to 8 bytes, and the single-pass ShingleHashes
-    // kernel replaces shingle_strings + array_distinct (string
-    // compares) + explode. PPJoin's prefix-completeness holds under
-    // ANY consistent global token ordering — (df, hash) is as valid
-    // as (df, string) — and the verify intersection stays exact
+    // 3-gram string to 8 bytes. PPJoin's prefix-completeness holds
+    // under ANY consistent global token ordering — (df, hash) is as
+    // valid as (df, string) — and the verify intersection stays exact
     // modulo 64-bit collisions (the q37/q46 disclaimer: ~|shingles|²
     // /2⁶⁵, far below the 4dp rounding threshold the oracle hashes).
-    val post = documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TextExpressions.shingle_hashes(col("text"), 3))
-          .as("tok"))
-    // post is deliberately NOT materialized: it is one codegen shingle
-    // kernel over the scan (the q110 recompute-beats-truncate class);
-    // truncating it re-measured as a wash in r11 (1.8-2.0 s either way)
-    // df via a window over the SAME tok shuffle the join keys need —
-    // the aggregate+self-join alternative shuffles the token table a
-    // second time and re-runs the shingle pass to build it
-    val withDf = post.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("tok"))))
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("tok"))
-    val sized = withDf
-      .withColumn("pos", row_number().over(byDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix heads both sides of the candidate self-join. Round-10
-    // relied on ReusedExchange to compute the window chain once, but
-    // the r11 plan audit (tools.Plans) shows the reuse NO LONGER fires
-    // — the formatted plan carries TWO full window chains — so the
-    // 3-window/2-shuffle chain ran twice per execution. Materialized
-    // (VERDICT r10 #3): re-measured 2.2 → ~1.2 s on the same window.
-    val prefix = sized.filter(
-      col("pos") <= col("n") - ceil(lit(PpjoinT) * col("n")) + 1)
-      .transform(Materialize.truncate)
-    // length filter (the AllPairs second pruning rule): J ≥ t implies
-    // t·|a| ≤ |b| and t·|b| ≤ |a| (since i ≤ min(na,nb)), so unequal
-    // sizes can be pruned at candidate time. EXACT integer arithmetic
-    // (t = 0.8 = 4/5 → 5·nb ≥ 4·na) — a double 0.8·n is ABOVE the true
-    // product for some n and would drop boundary pairs.
-    val cand = prefix.select(col("doc_id").as("a_id"), col("tok"),
-        col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("tok"),
-        col("n").as("nb")), Seq("tok"))
-      .filter(col("a_id") < col("b_id") &&
-        col("nb") * 5 >= col("na") * 4 && col("na") * 5 >= col("nb") * 4)
-      // sizes ride along so the verify stage needs no size re-join
-      .select(col("a_id"), col("b_id"), col("na"), col("nb")).distinct()
-    cand
-      .join(post.select(col("doc_id").as("a_id"), col("tok")), Seq("a_id"))
-      .join(post.select(col("doc_id").as("b_id"), col("tok")),
-        Seq("b_id", "tok"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("i"))
-      .select(col("a_id"), col("b_id"),
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
-          .as("jaccard"))
-      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
-        >= PpjoinT)
+    //
+    // Round 13 (VERDICT r12 #1): the df-annotated posting chain (one
+    // shingle pass + tok-window + doc-window) moved into the shared
+    // LshStages.dfPostings materialization — q125's prefix pass AND
+    // both exact-verify sides read that one stage, and q37/q90's
+    // inverted-index arm derives from it too, instead of each query
+    // paying its own shingle pass. The PPJoin pipeline itself is the
+    // library operator Dedup.prefixJaccardPairs (t = 4/5), which also
+    // hardened ceil(t·n) to exact integer arithmetic — see its
+    // scaladoc for why the double form under-sized the prefix for
+    // n ≡ 0 (mod 5).
+    graft.operators.Dedup
+      .prefixJaccardPairs(LshStages.dfPostings(s, d),
+        LshStages.docShingleSets(s, d), tNum = 4, tDen = 5)
       .orderBy(col("a_id"), col("b_id"))
-  }
   // (q125 verified at t=0.8 over trigram shingle sets — the q37
   // semantics; unigram token sets are non-discriminative on this
   // near-dup-heavy corpus: >30k pairs even at 0.8.)

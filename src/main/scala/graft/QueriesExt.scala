@@ -434,6 +434,57 @@ object QueriesExt {
         "resid_nonneg_ok", "pca_beats_axes_ok", "capture_in_unit_ok")
   }
 
+  /** q50d — PCA KERNEL vs SQL POWER METHOD on a WELL-CONDITIONED
+    * synthetic matrix (VERDICT r12 #3, closing the q50 oracle gap).
+    *
+    * The driver corpus's covariance spectrum is near-degenerate
+    * (λ₂/λ₁ = 0.987, round-8 probe), so no fixed-iteration SQL power
+    * method can converge there — that is why q50's component VALUES
+    * carry a NumPy check instead of a DuckDB oracle. This query
+    * oracles the SAME PCA kernel (Reduce.pcaWithModel → MLlib
+    * covariance + eigSym) on a deterministic synthetic matrix whose
+    * spectrum IS well-separated, so the kernel's component values get
+    * a hard in-harness DuckDB gate after all: both engines rebuild
+    * the 240×6 data EXACTLY (integer arithmetic from a row index —
+    * scores s₁,s₂,s₃ are modular-arithmetic pseudo-noise, loadings
+    * 4·u₁+2·u₂+1·u₃ over fixed integer basis vectors → rank-3
+    * covariance with λ₂/λ₁ = 0.167, λ₃/λ₂ = 0.0037), the oracle runs
+    * 60 power-method iterations with deflation in recursive SQL
+    * (convergence (λ₂/λ₁)⁶⁰ ≈ 1e-47, far past double precision), and
+    * both sides sign-normalize each component (largest-|loading|
+    * coordinate positive) before rounding to 4 dp.
+    *
+    * Scale: the fit is q50's distributed covariance path on 240 rows;
+    * the 6×3 model transfer is the same bounded driver-side matrix
+    * every PCA serves from. The sf dir is unused by construction —
+    * the gate pins the KERNEL, not the corpus.
+    */
+  def q50d(s: SparkSession, d: String): DataFrame = {
+    val u = Seq(Seq(3, 1, 4, 1, 5, 9), Seq(-2, 7, 1, -8, 2, 8),
+      Seq(1, -6, 1, 8, 0, -3))
+    val w = Seq(4, 2, 1)
+    val base = s.range(240).select(
+      ((col("id") * 53 + 7) % 101 - 50).as("s1"),
+      ((col("id") * 29 + 3) % 89 - 44).as("s2"),
+      ((col("id") * 17 + 5) % 61 - 30).as("s3"))
+    val withX = base.select(array((0 until 6).map(j =>
+      (col("s1") * (w(0) * u(0)(j)) + col("s2") * (w(1) * u(1)(j)) +
+        col("s3") * (w(2) * u(2)(j))).cast("double")): _*).as("x"))
+    val pcm = graft.ml.Reduce.pcaWithModel(withX, "x", 3)._2 // 6×3
+    val rows = for {
+      c <- 0 until 3
+      colv = (0 until 6).map(j => pcm(j, c))
+      mx = colv.indices.maxBy(j => math.abs(colv(j)))
+      sgn = if (colv(mx) < 0) -1.0 else 1.0
+      j <- 0 until 6
+    } yield (c + 1, j,
+      BigDecimal(colv(j) * sgn)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    import s.implicits._
+    rows.toDF("component", "dim", "loading")
+      .orderBy(col("component"), col("dim"))
+  }
+
   /** Balanced (stratified-cap) sampling: at most 20 docs per language,
     * chosen by deterministic md5 order — the quota/balance pass of a
     * training-data pipeline, reproducible across runs and engines
@@ -507,6 +558,7 @@ object QueriesExt {
     "q50_pca_components" -> (q50 _),
     "q50b_pca_invariants" -> (q50b _),
     "q50c_pca_reconstruction" -> (q50c _),
+    "q50d_pca_power_oracle" -> (q50d _),
     "q51_balanced_sample" -> (q51 _),
     "q52_hash_sample" -> (q52 _),
     "q53_redact" -> (q53 _),
@@ -899,6 +951,14 @@ object OracleExt {
         |  true AS resid_nonneg_ok, true AS pca_beats_axes_ok,
         |  true AS capture_in_unit_ok
         |FROM c, t, tk""".stripMargin,
+
+    // q50d: fixed-60-iteration power method with deflation in
+    // recursive SQL over the synthetic rank-3 covariance — the
+    // MATERIALIZED CTEs are load-bearing (without them each recursive
+    // step re-evaluates the upstream chain and the plan goes
+    // exponential). Sign rule mirrors the Spark side: largest-|v|
+    // coordinate positive.
+    "q50d_pca_power_oracle" -> Q50dOracle.sql,
 
     "q51_balanced_sample" ->
       """SELECT doc_id, lang, rn FROM (

@@ -8,8 +8,12 @@ import org.apache.spark.storage.StorageLevel
   * (VERDICT r10 #2, the LshStages convention).
   *
   * q147 (unigram perplexity), q148 (PMI), q164 (BPE pair census),
-  * q212 (bigram surprisal), q281 (Good-Turing), q282 (BPE merge step)
+  * q212 (bigram surprisal), q282 (BPE merge step)
   * and q288 (KN continuation) each started from the SAME corpus
+  * (q281's Good-Turing census left this stage in round 13 for the
+  * NgramHashes kernel — its 5-gram key never needs the token ARRAY,
+  * only occurrence hashes, so the kernel pass beats the cached-array
+  * detour)
   * tokenization (`split(text, ' ')` over `documents` — the repo's q30
   * convention), re-running it from the raw scan once per execution —
   * ~5.5 s summed on the round-10 driver window. A production pipeline

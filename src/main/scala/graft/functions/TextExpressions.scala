@@ -73,6 +73,60 @@ object TextExpressions {
   def shingle_hashes(text: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
 
+  /** NON-distinct XXH64 n-gram census hashes: one hash per OCCURRENCE
+    * of each word n-gram, len − n + 1 grams (zero when the doc has
+    * fewer than n tokens — the census convention, unlike
+    * ShingleHashes' clamped ≥ 1 truncated gram used by the SET
+    * family). Same tokenize (split(" ", -1), empties kept) and gram
+    * composition (space-joined) as ShingleHashes, so
+    * xxhash64-grouping a census over these hashes yields the same
+    * frequency table as grouping the gram STRINGS, modulo 64-bit
+    * collisions (~|grams|²/2⁶⁵ — the q125/q37 disclaimer). Replaces
+    * interpreted transform-lambda string building + a ~30-byte-string
+    * census shuffle with one kernel pass + an 8-byte shuffle key.
+    */
+  case class NgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      val toks = mutable.ArrayBuffer.empty[String]
+      var start = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == ' ') {
+          toks += text.substring(start, i); start = i + 1
+        }
+        i += 1
+      }
+      val grams = math.max(toks.length - n + 1, 0)
+      val out = new Array[Long](grams)
+      val sb = new java.lang.StringBuilder
+      var g = 0
+      while (g < grams) {
+        sb.setLength(0)
+        var k = g
+        while (k < g + n) {
+          if (k > g) sb.append(' ')
+          sb.append(toks(k)); k += 1
+        }
+        val u = UTF8String.fromString(sb.toString)
+        out(g) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, 42L)
+        g += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-occurrence XXH64 hashes of word n-grams (census form). */
+  def ngram_hashes(text: Column, n: Int): Column =
+    GraftShim.column(NgramHashes(GraftShim.expression(text), n))
+
   /** One-pass md5-based shingle hashes for the MINHASH family: same
     * tokenize + n-gram walk as ShingleHashes, but each gram is hashed
     * with md5 and projected to the 60-bit value

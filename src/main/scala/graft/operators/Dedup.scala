@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -201,24 +202,141 @@ object Dedup {
       n: Int, maxDf: Int = 0): DataFrame = {
     val base = df.select(id.as("doc_id"),
       graft.functions.TextExpressions.shingle_hashes(text, n).as("shs"))
-    val sh = base.select(
+    pairsFromInverted(base.select(
       struct(col("doc_id"), size(col("shs")).as("n_sh")).as("dn"),
-      explode(col("shs")).as("h"))
-    val buckets0 = sh.groupBy(col("h")).agg(collect_list(col("dn")).as("ds"))
+      explode(col("shs")).as("h")), maxDf)
+  }
+
+  /** Pair statistics derived from an already-built df-annotated
+    * posting list (dfAnnotatedPostings / LshStages.dfPostings): the
+    * per-doc set size `n` rides the postings, so no array
+    * re-materialization — the Jaccard/containment arm and the PPJoin
+    * arm share ONE posting-list stage per run instead of each paying
+    * its own shingle pass.
+    */
+  private[graft] def pairStatsFromPostings(posted: DataFrame,
+      maxDf: Int = 0): DataFrame =
+    pairsFromInverted(posted.select(
+      struct(col("doc_id"), col("n").as("n_sh")).as("dn"),
+      col("tok").as("h")), maxDf)
+
+  private def pairsFromInverted(sh: DataFrame, maxDf: Int): DataFrame = {
+    // sort_array orders each posting bucket by doc_id (the struct's
+    // leading field), so the Combos kernel's position-ordered pairs
+    // are value-ordered too: smaller doc_id first, no per-pair
+    // comparison. Combos replaces the interpreted nested
+    // transform+slice lambda expansion — the same O(k²)-allocations
+    // HOF class the round-12 kernel killed for q279/q171, measured
+    // again here as the structural cost of q125's candidate stage.
+    val buckets0 = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("dn"))).as("ds"))
       .filter(size(col("ds")) > 1)
     val buckets = if (maxDf > 0) buckets0.filter(size(col("ds")) <= maxDf)
       else buckets0
-    // all ordered pairs within a bucket, smaller doc_id first
-    val pairs = buckets.select(explode(flatten(
-      transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
-          when(a.getField("doc_id") < b.getField("doc_id"),
-            struct(a.as("a"), b.as("b")))
-            .otherwise(struct(b.as("a"), a.as("b"))))))).as("p"))
+    val pairs = buckets.select(explode(
+      graft.functions.TextExpressions.combos(col("ds"), 2)).as("p"))
     pairs
       .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
+  }
+
+  /** Global-df-annotated posting list `(doc_id, tok, df, n, pos)` over
+    * DISTINCT n-gram shingle hashes: `df` = the shingle's global
+    * document frequency, `n` = the doc's distinct-shingle count,
+    * `pos` = the shingle's 1-based rank within its doc under the
+    * canonical prefix-filter ordering (df asc, tok asc — rarest
+    * first; ties impossible, tok is distinct per doc). This is the
+    * shared prefix of the PPJoin candidate generator
+    * (prefixJaccardPairs) AND the inverted-index pair statistics
+    * (pairStatsFromPostings) — the harness materializes it once per
+    * (session, sf dir) in LshStages.dfPostings.
+    *
+    * Shape: one codegen shingle pass over the scan, one shuffle on the
+    * 8-byte tok (df window), one shuffle on doc_id (pos + n in a
+    * single exchange — two window specs over the same partitioning).
+    */
+  def dfAnnotatedPostings(df: DataFrame, text: Column, id: Column,
+      n: Int): DataFrame = {
+    val post = df.select(id.as("doc_id"),
+      explode(graft.functions.TextExpressions.shingle_hashes(text, n))
+        .as("tok"))
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    withDf
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+  }
+
+  /** PREFIX-FILTER SET-SIMILARITY JOIN (AllPairs/PPJoin candidate
+    * generation + exact verify, Chaudhuri/Bayardo) at Jaccard
+    * threshold t = tNum/tDen over a df-annotated posting list.
+    *
+    * A doc of n distinct shingles exposes only its first
+    * n − ceil(t·n) + 1 rarest shingles as join keys; two docs with
+    * Jaccard ≥ t MUST collide on at least one prefix shingle (the
+    * prefix-filter theorem), so candidates → exact-verify loses
+    * nothing. The AllPairs length rule prunes size-incompatible
+    * candidates in EXACT integer arithmetic (t·|a| ≤ |b| and
+    * t·|b| ≤ |a|).
+    *
+    * ceil(t·n) is computed by EXACT integer ceil — (tNum·n + tDen−1)
+    * div tDen (round 13). The previous double form ceil(0.8 · n)
+    * evaluates 0.8·5 = 4.0000000000000002 → ceil 5: one prefix token
+    * SHORT of the theorem's bound for every n ≡ 0 (mod tDen). The
+    * brute-force oracle hash gate stayed green (no pair was actually
+    * lost on these corpora), but at 100 TB that is a recall hole, not
+    * a rounding nit — the integer form can only ADD candidates, and
+    * verification is exact, so results are unchanged where the double
+    * form was lucky.
+    *
+    * Scale: recall-1.0 competitor to MinHash banding — no banding
+    * error; candidate volume is bounded by rare-first ordering (a
+    * boilerplate shingle never enters a prefix unless the doc is
+    * nearly all boilerplate). All joins are 8-byte-key equi-joins;
+    * verify touches candidates only.
+    */
+  def prefixJaccardPairs(posted: DataFrame, sets: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val need = col("n") -
+      floor((col("n") * lit(tNum) + lit(tDen - 1)) / lit(tDen)) + 1
+    val prefix = posted.filter(col("pos") <= need)
+    // Candidate generation as ONE in-bucket expansion (round 13): the
+    // previous aliased self-join shuffled the prefix postings twice
+    // (two exchanges — aliasing defeats ReusedExchange) and then paid
+    // a third shuffle for distinct(). pairStatsFromPostings groups
+    // the prefix by tok once and expands pairs inside each posting
+    // bucket — same candidate set, already distinct, sizes riding
+    // along for the AllPairs length rule (exact integer arithmetic:
+    // a double t·n is ABOVE the true product for some n and would
+    // drop boundary pairs).
+    val cand = pairStatsFromPostings(prefix)
+      .filter(col("nb") * tDen >= col("na") * tNum &&
+        col("na") * tDen >= col("nb") * tNum)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+    // Exact verify against the per-doc shingle SET table, not the
+    // exploded postings: two doc-keyed equi-joins fetch each side's
+    // distinct-hash array and array_intersect measures |A∩B| in-row —
+    // the posting-table form re-shuffled the FULL postings twice per
+    // execution for the same number. `sets` is |docs| rows (the
+    // candidate table is far smaller still); at 100 TB both joins are
+    // doc_id-keyed shuffles touching candidates only.
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("shs_a")),
+        Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("shs_b")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("i"),
+        col("na"), col("nb"))
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+        >= lit(tNum.toDouble / tDen))
+      .select(col("a_id"), col("b_id"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
   }
 
   private[graft] def jaccardFrom(stats: DataFrame, minJaccard: Double): DataFrame =
