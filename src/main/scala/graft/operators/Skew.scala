@@ -72,8 +72,22 @@ object Skew {
         when(col("__gap").isNull || col("__gap") > gapSec, 1).otherwise(0))
       .withColumn("__lsid",
         sum(col("__is_new")).over(wc.rowsBetween(Window.unboundedPreceding, 0)))
+    // `local` feeds BOTH the chunk-aggregate stitch and the final
+    // join's left side; the formatted plan shows ReusedExchange does
+    // NOT fire across the two consumers (column pruning diverges
+    // below the exchange — the same class as q125's round-10/11
+    // finding), so without this the full scan+shuffle+double-window
+    // chain ran twice per execution. persist(), not localCheckpoint:
+    // an ExistingRDD forgets its (key, chunk) outputPartitioning and
+    // both consumers would re-exchange the full row set, while
+    // InMemoryRelation keeps it (the stitch groupBy and the join stay
+    // exchange-free), and the cache manager keys on the canonical
+    // plan, so repeated executions share ONE entry instead of leaking
+    // a copy per run (round 13).
+    val localM = local.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wu = Window.partitionBy(col("__k")).orderBy(col("__c"))
-    val stitched = local
+    val stitched = localM
       .groupBy(col(keyCol).as("__k"), col("__chunk").as("__c"))
       .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"),
         max(col("__lsid")).as("__nstarts"))
@@ -84,7 +98,7 @@ object Skew {
         coalesce(sum(col("__nstarts") - col("__merge"))
           .over(wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__k"), col("__c"), col("__merge"), col("__offset"))
-    local
+    localM
       .join(stitched,
         col(keyCol) === col("__k") && col("__chunk") === col("__c"))
       .withColumn("session_id",
