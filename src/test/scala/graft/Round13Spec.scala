@@ -47,6 +47,50 @@ class Round13Spec extends SparkSpec {
       s"expected 2 retained snapshots per dataset, got A=${snaps(a)} B=${snaps(b)}")
   }
 
+  test("prefixJaccardPairs == brute-force ngram Jaccard at t=0.8, incl. n % 5 == 0 set sizes") {
+    // recall-1.0 pin for the round-13 PPJoin pipeline (shared posting
+    // stage + Combos candidate expansion + array_intersect verify),
+    // on a corpus with genuine above-threshold pairs AND docs whose
+    // distinct-shingle count is a multiple of 5 — the sizes where the
+    // old double-arithmetic ceil(0.8·n) under-sized the prefix by one
+    // token (theorem violation; see Dedup.prefixJaccardPairs).
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val pool = (0 until 24).map(i => s"w$i")
+    val rows = (0 until 120).flatMap { i =>
+      val len = 6 + (mix(i).abs % 40).toInt
+      val toks = (0 until len).map(k =>
+        pool((mix(i.toLong * 131 + k).abs % 24).toInt))
+      val twin = if (toks.length > 2)
+        toks.updated(toks.length / 2, s"zz$i") else toks
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, twin.mkString(" ")))
+    }
+    val c = rows.toDF("doc_id", "text").repartition(4).cache()
+    val posted = Dedup.dfAnnotatedPostings(c, $"text", $"doc_id", 3)
+    // the boundary sizes are actually present in this corpus
+    assert(posted.select($"doc_id", $"n").distinct()
+      .filter($"n" % 5 === 0).count() > 0, "no n % 5 == 0 docs drawn")
+    val sets = c.select($"doc_id",
+      graft.functions.TextExpressions.shingle_hashes($"text", 3).as("shs"))
+    val fast = Dedup.prefixJaccardPairs(posted, sets, 4, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Dedup.ngramJaccardPairs(c, $"text", $"doc_id",
+        n = 3, minJaccard = 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    c.unpersist()
+    assert(brute.nonEmpty, "corpus drew no above-threshold pairs")
+    assert(fast == brute,
+      s"fast\\brute=${(fast.toSet -- brute.toSet).take(3)}, " +
+        s"brute\\fast=${(brute.toSet -- fast.toSet).take(3)}")
+  }
+
   test("Combos errors descriptively instead of overflowing on huge inputs (bound documented)") {
     // n=3000 at k=3 → 4.5e9 tuples: Int math would go negative and
     // throw NegativeArraySizeException; the kernel must raise a clear
