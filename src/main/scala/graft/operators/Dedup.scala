@@ -220,7 +220,20 @@ object Dedup {
       struct(col("doc_id"), col("n").as("n_sh")).as("dn"),
       col("tok").as("h")), maxDf)
 
-  private def pairsFromInverted(sh: DataFrame, maxDf: Int): DataFrame = {
+  /** Bucket-size ceiling for the in-row Combos expansion: C(8192,2)
+    * ≈ 33.5M pairs is the largest single-row expansion we allow. Far
+    * below it, C(n,2) stays long-safe (the Int overflow bites at
+    * n = 65536) and the collected bucket row stays ≲100 KB. Buckets
+    * larger than this fall back to the streamed equi-join expansion
+    * below (ADVICE r13) — same pairs, no giant row.
+    */
+  private[graft] val ComboBucketCap = 8192
+
+  private def pairsFromInverted(sh: DataFrame, maxDf: Int): DataFrame =
+    pairsFromInverted(sh, maxDf, ComboBucketCap)
+
+  private[graft] def pairsFromInverted(sh: DataFrame, maxDf: Int,
+      comboCap: Int): DataFrame = {
     // sort_array orders each posting bucket by doc_id (the struct's
     // leading field), so the Combos kernel's position-ordered pairs
     // are value-ordered too: smaller doc_id first, no per-pair
@@ -233,9 +246,31 @@ object Dedup {
       .filter(size(col("ds")) > 1)
     val buckets = if (maxDf > 0) buckets0.filter(size(col("ds")) <= maxDf)
       else buckets0
-    val pairs = buckets.select(explode(
+    val pairs = buckets.filter(size(col("ds")) <= comboCap).select(explode(
       graft.functions.TextExpressions.combos(col("ds"), 2)).as("p"))
-    pairs
+    // Flood fallback (ADVICE r13): a bucket with more than comboCap
+    // docs would expand C(n,2) pairs inside ONE row — past 65,535
+    // docs C(n,2) overflows Int and Combos throws; well before that
+    // the single-row expansion risks executor OOM. Such buckets
+    // re-explode to posting rows and pair by a streamed self-join on
+    // the bucket key instead: identical pairs (a < b on the same
+    // struct ordering sort_array used), arbitrary df, the pairs
+    // stream through the join iterator into the map-side partial
+    // aggregate instead of materializing per-row. The O(df) collected
+    // bucket row itself still exists transiently (~13 bytes/doc —
+    // 1.3 MB at df = 10^5); a corpus degenerate enough to push single
+    // buckets toward GB-scale rows is what maxDf is for (such
+    // shingles carry no similarity signal). On benign corpora this
+    // branch is empty (rare-first prefixes / shingle dfs stay far
+    // below the cap) and costs nothing; on a corpus of many short
+    // near-identical docs it is what keeps the stage alive.
+    val bigRows = buckets.filter(size(col("ds")) > comboCap)
+      .select(col("h"), explode(col("ds")).as("dn"))
+    val bigPairs = bigRows.as("x")
+      .join(bigRows.as("y"),
+        col("x.h") === col("y.h") && col("x.dn") < col("y.dn"))
+      .select(struct(col("x.dn").as("a"), col("y.dn").as("b")).as("p"))
+    pairs.unionByName(bigPairs)
       .groupBy(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         max(col("p.a.n_sh")).as("na"), max(col("p.b.n_sh")).as("nb"))
@@ -297,7 +332,13 @@ object Dedup {
     * error; candidate volume is bounded by rare-first ordering (a
     * boilerplate shingle never enters a prefix unless the doc is
     * nearly all boilerplate). All joins are 8-byte-key equi-joins;
-    * verify touches candidates only.
+    * verify touches candidates only. Candidate generation routes
+    * through pairsFromInverted, whose in-row Combos expansion is
+    * bounded at ComboBucketCap docs per prefix-token bucket — a
+    * corpus of many short near-identical docs CAN put the same token
+    * in most prefixes, and such buckets fall back to the streamed
+    * equi-join expansion instead of a C(n,2) single-row blowup
+    * (ADVICE r13; Round14Spec pins both paths pair-identical).
     */
   def prefixJaccardPairs(posted: DataFrame, sets: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {

@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Bounded registry for chunkedSessionize's stage persist (ADVICE
+    * r13): CacheManager dedupes identical plans, but each DISTINCT
+    * input/parameterization would otherwise leave a live
+    * InMemoryRelation for the rest of the session — unbounded growth
+    * for a general-purpose operator invoked over varying inputs.
+    * Access-ordered LRU keyed on (application, canonical plan hash);
+    * beyond the cap the least-recently-used stage unpersists.
+    * Evicting a stage a consumer still holds is SAFE — Spark falls
+    * back to recomputing the lineage — so the cap trades re-execution
+    * on the >cap-th concurrent input against a bounded cache
+    * footprint. Re-invoking over the same input refreshes its slot
+    * (same canonical plan → same key, and CacheManager had deduped
+    * the persist anyway).
+    */
+  private val LocalStageCap = 8
+  private val localStages =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > LocalStageCap
+        if (evict)
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        evict
+      }
+    }
+  private def trackStage(df: DataFrame): Unit = localStages.synchronized {
+    val key = df.sparkSession.sparkContext.applicationId + "|" +
+      df.queryExecution.analyzed.semanticHash()
+    localStages.put(key, df)
+  }
+
   /** Two-phase salted aggregation: groupBy (key, salt) partials, then
     * combine per key. A key with 10^9 rows becomes `salts` parallel
     * partials instead of one straggler task. Salt is derived from a
@@ -83,9 +115,12 @@ object Skew {
     // InMemoryRelation keeps it (the stitch groupBy and the join stay
     // exchange-free), and the cache manager keys on the canonical
     // plan, so repeated executions share ONE entry instead of leaking
-    // a copy per run (round 13).
+    // a copy per run (round 13). The bounded LRU registry above owns
+    // the unpersist side (round 14): varying inputs evict the oldest
+    // stage instead of accumulating for the session's lifetime.
     val localM = local.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackStage(localM)
     val wu = Window.partitionBy(col("__k")).orderBy(col("__c"))
     val stitched = localM
       .groupBy(col(keyCol).as("__k"), col("__chunk").as("__c"))

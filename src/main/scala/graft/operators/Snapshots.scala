@@ -55,8 +55,11 @@ object Snapshots {
     // format records): a narrow n_chars read of what just landed —
     // re-aggregating versionDf would re-run the full-text md5 pass a
     // second time per version (the lazy-double-evaluation cost class)
+    // coalesce: an EMPTY commit (the derivation rule can drop every
+    // row) sums n_chars to NULL, and the manifest records 0 (r14)
     val r = base.sparkSession.read.parquet(s"$dir/v=$k")
-      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+      .collect()(0)
     Manifest(k, commitDay = k, r.getLong(0), r.getLong(1))
   }
 
@@ -94,7 +97,13 @@ object Snapshots {
     * disk (n_docs / n_chars / order-invariant content checksum —
     * proving the files survived intact); expired versions surface
     * only their manifest stats with a NULL checksum (the files are
-    * gone, and q215 asserts they are).
+    * gone, and q215 asserts they are). Every kept version surfaces a
+    * row even when its files hold ZERO rows (left-join below, ADVICE
+    * r13). Note: the single multi-path read requires the kept
+    * versions to be schema-COMPATIBLE (the unified scan takes one
+    * merged schema); snapshots that diverged structurally need the
+    * per-version read this replaced — acceptable here because
+    * versionDf fixes the snapshot schema by construction.
     */
   def audit(spark: SparkSession, dir: String, manifests: Seq[Manifest],
       kept: Set[Int]): DataFrame = {
@@ -107,15 +116,29 @@ object Snapshots {
     val keptVs = manifests.filter(m => kept(m.version)).map(_.version).sorted
     val keptAudits =
       if (keptVs.isEmpty) Seq.empty[DataFrame]
-      else Seq(spark.read.option("basePath", dir)
-        .parquet(keptVs.map(v => s"$dir/v=$v"): _*)
-        .groupBy(col("v").cast("int").as("version"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
-          sum(graft.functions.Text.md5Long(concat_ws("|",
-            col("doc_id"), col("fp"))).cast(DecimalType(38, 0)))
-            .cast("string").as("content_sum"))
-        .select(col("version"), lit("kept").as("status"), col("n_docs"),
-          col("n_chars"), col("content_sum")))
+      else {
+        val grouped = spark.read.option("basePath", dir)
+          .parquet(keptVs.map(v => s"$dir/v=$v"): _*)
+          .groupBy(col("v").cast("int").as("version"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+            sum(graft.functions.Text.md5Long(concat_ws("|",
+              col("doc_id"), col("fp"))).cast(DecimalType(38, 0)))
+              .cast("string").as("content_sum"))
+        // ADVICE r13: groupBy yields NO group for a kept version whose
+        // partition holds zero rows, so an empty-but-surviving
+        // snapshot silently vanished from the audit — the opposite of
+        // what an audit should do. Left-join the kept-version list
+        // (|kept| local rows) so every surviving version always
+        // surfaces: n_docs coalesces to 0; n_chars/content_sum stay
+        // NULL, exactly what the per-version no-groupBy agg this
+        // single-pass form replaced used to emit (sum over no rows).
+        import spark.implicits._
+        val keptIdx = keptVs.toDF("version")
+        Seq(keptIdx.join(grouped, Seq("version"), "left")
+          .select(col("version"), lit("kept").as("status"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            col("n_chars"), col("content_sum")))
+      }
     val expiredRows = manifests.filterNot(m => kept(m.version)).sortBy(_.version)
       .map { m =>
         require(!Files.exists(Paths.get(s"$dir/v=${m.version}")),
