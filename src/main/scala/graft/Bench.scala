@@ -16,6 +16,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 64 MB broadcast threshold (round 14): Spark's 10 MB default is
+      // the famously conservative setting for 1 GB-executor clusters;
+      // on this 48 GB-heap harness (and on the 100+ GB-executor
+      // deployments this library targets) raising it is standard
+      // practice. Measured same-JVM interleaved A/B (tools/AbQ, so
+      // host drift hits both arms): 12-query panel B/A = 0.54 — the
+      // planner flips small-side SMJs to broadcasts across the whole
+      // surface (results invariant; every query stays oracle-gated).
+      // AQE stays ON — its runtime-stat conversion uses this same
+      // threshold, so the two compose rather than conflict.
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
     // Builder-side A/B aid: SPARK_GRAFT_CONF="k=v;k=v" overlays extra
     // session confs for config experiments. The driver never sets it.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's 64 MB broadcast threshold (round 14) so the
+      // correctness dump exercises the SAME physical plans the bench
+      // measures — the oracle gate then re-proves every flipped join
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

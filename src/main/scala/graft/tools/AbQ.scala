@@ -1,0 +1,63 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: same-JVM interleaved config A/B. Times each named query
+  * under conf A then conf B within the SAME pass, alternating, so
+  * minutes-scale host-budget drift hits both arms equally — the only
+  * trustworthy way to attribute a per-query delta to a session conf
+  * on this container (PERF.md §1). Confs must be runtime-settable
+  * (spark.sql.* session confs are).
+  *
+  * Usage: AbQ <k=v[;k=v]> <query...>   (arm B = the given confs,
+  * arm A = the session defaults; 3 interleaved passes, min per arm).
+  */
+object AbQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val confs = args(0).split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq
+    val names = args.drop(1).toSeq
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // arm A must restore the session's PRIOR value, not unset(): for a
+    // builder-set conf (e.g. shuffle.partitions=32) unset falls back to
+    // the GLOBAL default (200), silently benchmarking the wrong arm
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def setB(): Unit = confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def setA(): Unit = prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // warmup both arms
+    names.foreach { n =>
+      setA(); graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      setB(); graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      setA(); graft.SparkEntry.queries(n)(spark, sf).count()
+      setB(); graft.SparkEntry.queries(n)(spark, sf).count()
+    }
+    val mins = scala.collection.mutable.Map[(String, String), Double]()
+    (1 to 3).foreach { _ =>
+      names.foreach { n =>
+        Seq("A" -> setA _, "B" -> setB _).foreach { case (arm, set) =>
+          set()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, sf).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val k = (n, arm)
+          mins(k) = math.min(mins.getOrElse(k, Double.MaxValue), dt)
+        }
+      }
+    }
+    names.foreach { n =>
+      val a = mins((n, "A")); val b = mins((n, "B"))
+      println(f"$n%-32s A=$a%6.3f B=$b%6.3f B/A=${b / a}%5.2f")
+    }
+    val ta = names.map(n => mins((n, "A"))).sum
+    val tb = names.map(n => mins((n, "B"))).sum
+    println(f"TOTAL A=$ta%7.2f B=$tb%7.2f B/A=${tb / ta}%5.2f")
+    spark.stop()
+  }
+}
