@@ -98,6 +98,25 @@ object Bench {
     // budget and self-flags via window_quality below.
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "8").toInt
     val minPasses = math.min(4, maxPasses)
+    // the previous committed record's per-query mins, loaded up front:
+    // the adaptive loop below uses them as an ABSOLUTE window gauge
+    // (the best-two spread alone converges happily on two equally
+    // contended passes — seen twice in round 14's discarded draws)
+    val prevRecord: (Map[String, Double], String, String) = try {
+      val prevPath = java.nio.file.Paths.get("PERF_QUERIES.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+      val prevMtime = java.nio.file.Files.getLastModifiedTime(prevPath)
+        .toInstant.toString
+      val prevTotal = """"total_min_per_query_s":\s*([0-9.Ee+-]+)""".r
+        .findFirstMatchIn(prev).map(_.group(1)).getOrElse("null")
+      val entry = """"(q[^"]+)":\s*\{"min":\s*([0-9.Ee+-]+)""".r
+      (entry.findAllMatchIn(prev)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap, prevTotal, prevMtime)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no previous record readable: $e")
+      (Map.empty[String, Double], "null", "null")
+    }
+    val prevMins = prevRecord._1
     val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadavg())
     val passes = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     def totalOf(p: Map[String, Double]): Double =
@@ -106,8 +125,26 @@ object Bench {
       val ts = passes.map(totalOf).filter(_ > 0).sorted
       if (ts.size < 2) Double.MaxValue else ts(1) / ts(0)
     }
+    // running drift median of the per-query mins so far vs the
+    // committed record; -1 when no record / too few shared queries
+    // (then the spread criterion alone decides)
+    def runningDriftMedian(): Double = {
+      val rs = names.flatMap { n =>
+        val ok = passes.flatMap(p => p.get(n)).filter(_ >= 0)
+        if (ok.isEmpty) None
+        else prevMins.get(n).collect { case p if p > 0.03 => ok.min / p }
+      }.sorted
+      if (rs.size < 20) -1.0 else rs(rs.size / 2)
+    }
+    // wall-clock budget for the timed passes ("or the budget is
+    // spent"): a fully contended window must not turn 8 passes into
+    // an hour-long artifact
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toInt
+    val t0 = System.nanoTime()
+    def budgetLeft: Boolean = (System.nanoTime() - t0) / 1e9 < budgetS
     while (passes.size < minPasses ||
-        (passes.size < maxPasses && bestTwoSpread >= 1.10)) {
+        (passes.size < maxPasses && budgetLeft &&
+          (bestTwoSpread >= 1.10 || runningDriftMedian() >= 1.15))) {
       passes += pass(); passLoads += loadavg()
     }
     // nPasses+1 samples: before pass 1, then after each pass (the 1-min
@@ -143,15 +180,8 @@ object Bench {
     // was compared against instead of implying "the committed record".
     var driftMedian: Double = -1.0
     val drift = try {
-      val prevPath = java.nio.file.Paths.get("PERF_QUERIES.json")
-      val prev = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-      val prevMtime = java.nio.file.Files.getLastModifiedTime(prevPath)
-        .toInstant.toString
-      val prevTotal = """"total_min_per_query_s":\s*([0-9.Ee+-]+)""".r
-        .findFirstMatchIn(prev).map(_.group(1)).getOrElse("null")
-      val entry = """"(q[^"]+)":\s*\{"min":\s*([0-9.Ee+-]+)""".r
-      val prevMins = entry.findAllMatchIn(prev)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val prevTotal = prevRecord._2
+      val prevMtime = prevRecord._3
       val ratios = names.flatMap { nm =>
         val now = results.toMap.apply(nm)
         prevMins.get(nm).collect {
