@@ -8,6 +8,24 @@ import org.apache.spark.sql.SparkSession
   * first-query JVM warmup.
   */
 object Bench {
+
+  /** Window self-verdict from the two run-quality signals (ADVICE
+    * r14): `clean` requires the best two pass totals within 10% AND a
+    * drift median vs the committed record inside [0.9, 1.05]. The
+    * LOWER bound is the masking guard — immediately after a genuine
+    * plan speedup the drift median drops well below 1, so a contended
+    * window (true contention 1.3× masked by a 0.7× plan win → median
+    * ~0.9) could otherwise stamp itself `clean`; a median < 0.9 means
+    * the record no longer describes this code and the drift gauge is
+    * unreliable either way → `unknown` until the record is
+    * re-baselined. Either signal missing → `unknown`.
+    */
+  private[graft] def windowVerdictOf(spreadB2: Double, driftMedian: Double): String =
+    if (spreadB2 < 0 || driftMedian < 0) "unknown"
+    else if (driftMedian < 0.9) "unknown"
+    else if (spreadB2 < 1.10 && driftMedian <= 1.05) "clean"
+    else "contended"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,13 +38,23 @@ object Bench {
       // the famously conservative setting for 1 GB-executor clusters;
       // on this 48 GB-heap harness (and on the 100+ GB-executor
       // deployments this library targets) raising it is standard
-      // practice. Measured same-JVM interleaved A/B (tools/AbQ, so
-      // host drift hits both arms): 12-query panel B/A = 0.54 — the
-      // planner flips small-side SMJs to broadcasts across the whole
-      // surface (results invariant; every query stays oracle-gated).
+      // practice. Measured same-JVM order-alternated A/B (tools/AbQ,
+      // null test passing — PERF.md §1f): join-panel B/A ≈ 0.92, with
+      // the real SMJ→BHJ flips on q235 (0.67×) and q259 (0.53×), rest
+      // ~1.0 (results invariant; every query stays oracle-gated).
       // AQE stays ON — its runtime-stat conversion uses this same
       // threshold, so the two compose rather than conflict.
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      // Codegen class cache sized for the surface (round 15): the
+      // static default (spark.sql.codegen.cache.maxEntries = 100)
+      // LRU-thrashes under 307 queries × several codegen units each —
+      // by the time a pass loops back to q01 its generated classes
+      // are evicted, so EVERY pass re-pays Janino compilation for the
+      // whole surface (the same compile-skip effect the AbQ null test
+      // exposed, but as a per-pass tax). Sizing the cache to hold the
+      // full surface makes warmup compile once and every timed pass
+      // measure execution, not compilation.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
     // Builder-side A/B aid: SPARK_GRAFT_CONF="k=v;k=v" overlays extra
     // session confs for config experiments. The driver never sets it.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
@@ -216,20 +244,16 @@ object Bench {
     // ran uniformly slower than the record (median > 1 → this window
     // was leaner than the recording window). The adjustment only ever
     // divides by max(1, median): a fast window never inflates the
-    // claim. window_quality carries the machine-readable verdict:
-    // clean = the best two passes agreed within 10% AND the drift
-    // median is within 5% of the committed record.
+    // claim. window_quality carries the machine-readable verdict —
+    // see windowVerdictOf above for the clean/contended/unknown rule
+    // (including the median-<0.9 masking guard, ADVICE r14).
     val rawRatio = if (total >= 0) total / 54.5 else -1.0
     val spreadB2 = { val s = bestTwoSpread
       if (s == Double.MaxValue) -1.0 else s }
     val adjRatio =
       if (rawRatio < 0) -1.0
       else if (driftMedian > 1.0) rawRatio / driftMedian else rawRatio
-    val windowVerdict =
-      if (spreadB2 > 0 && spreadB2 < 1.10 &&
-          driftMedian > 0 && driftMedian <= 1.05) "clean"
-      else if (spreadB2 < 0 || driftMedian < 0) "unknown"
-      else "contended"
+    val windowVerdict = windowVerdictOf(spreadB2, driftMedian)
     val windowQuality =
       s"""{"passes_run": ${passes.size}, "max_passes": $maxPasses,
     "best_two_pass_spread": $spreadB2, "pass_loadavg": $loadsJson,

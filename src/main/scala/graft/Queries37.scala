@@ -86,12 +86,19 @@ object Oracle37 {
       val fp = "CASE WHEN doc_id % 7 = v.version THEN md5('v' || v.version || ' ' || text) ELSE md5(text) END"
       s"""WITH v AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS version),
          |per AS (
-         |  SELECT v.version, count(*) AS n_docs,
-         |    CAST(sum(n_chars + CASE WHEN doc_id % 7 = v.version
-         |      THEN v.version ELSE 0 END) AS BIGINT) AS n_chars,
+         |  -- LEFT join + count(doc_id) + coalesce mirror the engine
+         |  -- audit's kept-version left join (ADVICE r14): an EMPTY
+         |  -- version surfaces as (n_docs=0, n_chars=0, NULL checksum)
+         |  -- on both surfaces instead of diverging (no row here vs a
+         |  -- zero row there). Unreachable on this fixture (versions
+         |  -- are never empty) but the two SQLs now define the same
+         |  -- function on the full domain.
+         |  SELECT v.version, count(doc_id) AS n_docs,
+         |    CAST(coalesce(sum(n_chars + CASE WHEN doc_id % 7 = v.version
+         |      THEN v.version ELSE 0 END), 0) AS BIGINT) AS n_chars,
          |    CAST(sum(CAST(${md5l(s"doc_id || '|' || $fp")}
          |      AS DECIMAL(38,0))) AS VARCHAR) AS content_sum
-         |  FROM v JOIN documents ON doc_id % (13 + v.version) <> 0
+         |  FROM v LEFT JOIN documents ON doc_id % (13 + v.version) <> 0
          |  GROUP BY v.version)
          |SELECT version,
          |  CASE WHEN version > 2 THEN 'kept' ELSE 'expired' END AS status,

@@ -37,10 +37,28 @@ object Skew {
         evict
       }
     }
+  /** Displacement guard (ADVICE r14): the registry key hashes the
+    * canonical plan to an Int, so two DISTINCT plans can collide; a
+    * put() that displaces a different DataFrame would otherwise leave
+    * the displaced InMemoryRelation untracked and persisted for the
+    * session lifetime — the exact unbounded-growth hole the LRU
+    * exists to close. When the displaced entry is plan-equal to the
+    * new one (the common re-invocation case) it must NOT be
+    * unpersisted: CacheManager deduped the two persists onto one
+    * shared cache entry, and releasing it would evict the stage the
+    * new DataFrame is about to use.
+    */
+  private[graft] def releaseDisplaced(displaced: DataFrame, next: DataFrame): Unit =
+    if (displaced.queryExecution.analyzed.canonicalized !=
+        next.queryExecution.analyzed.canonicalized)
+      try displaced.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+
   private def trackStage(df: DataFrame): Unit = localStages.synchronized {
     val key = df.sparkSession.sparkContext.applicationId + "|" +
       df.queryExecution.analyzed.semanticHash()
-    localStages.put(key, df)
+    val prev = localStages.put(key, df)
+    if (prev != null && !(prev eq df)) releaseDisplaced(prev, df)
   }
 
   /** Two-phase salted aggregation: groupBy (key, salt) partials, then

@@ -129,15 +129,19 @@ object Snapshots {
         // snapshot silently vanished from the audit — the opposite of
         // what an audit should do. Left-join the kept-version list
         // (|kept| local rows) so every surviving version always
-        // surfaces: n_docs coalesces to 0; n_chars/content_sum stay
-        // NULL, exactly what the per-version no-groupBy agg this
-        // single-pass form replaced used to emit (sum over no rows).
+        // surfaces. ADVICE r14: an empty kept version's counts
+        // coalesce to ZERO — n_docs AND n_chars — the same
+        // representation writeVersion records in the manifest (one
+        // accounting convention across both surfaces). content_sum
+        // stays NULL: there is no content to checksum, and the DuckDB
+        // oracle's sum-over-no-rows agrees.
         import spark.implicits._
         val keptIdx = keptVs.toDF("version")
         Seq(keptIdx.join(grouped, Seq("version"), "left")
           .select(col("version"), lit("kept").as("status"),
             coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-            col("n_chars"), col("content_sum")))
+            coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+            col("content_sum")))
       }
     val expiredRows = manifests.filterNot(m => kept(m.version)).sortBy(_.version)
       .map { m =>

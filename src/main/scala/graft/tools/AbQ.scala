@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * (spark.sql.* session confs are).
   *
   * Usage: AbQ <k=v[;k=v]> <query...>   (arm B = the given confs,
-  * arm A = the session defaults; 3 interleaved passes, min per arm).
+  * arm A = the session defaults; 4 interleaved passes — the EVEN
+  * count is load-bearing, the per-pass order alternation only
+  * cancels the codegen-compile-skip bias when each arm takes the
+  * favored second slot equally often; min per arm).
   */
 object AbQ {
   def main(args: Array[String]): Unit = {

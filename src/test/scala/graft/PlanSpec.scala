@@ -487,4 +487,25 @@ class PlanSpec extends SparkSpec {
     assert(!hasCartesian(rbo))
     assert(hasWindow(rbo)) // the two ranks are windows over ≤|brands| rows
   }
+
+  test("q235/q259: the harness 64 MB broadcast threshold plans their mid-size joins as BHJ (VERDICT r14 #5)") {
+    // Bench/Verify sessions raise spark.sql.autoBroadcastJoinThreshold
+    // to 64 MB (the round-14 AbQ result: q235 0.67×, q259 0.53× — real
+    // SMJ→BHJ flips); scalatests run on a default session, so without
+    // this pin a Spark upgrade could silently revert the flip and no
+    // test would notice. Asserted as a plan SHAPE under the harness
+    // conf: every join in both plans is broadcast — no SortMergeJoin
+    // survives anywhere in either tree.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "67108864")
+      Seq("q235_item_cf", "q259_blocking_quality").foreach { name =>
+        val df = q(name)
+        assert(!hasSortMergeJoin(df),
+          s"$name: a SortMergeJoin survived the 64 MB harness threshold")
+        assert(broadcastHashJoins(df).nonEmpty, name)
+      }
+    } finally spark.conf.set(key, prior)
+  }
 }

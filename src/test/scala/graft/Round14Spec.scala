@@ -63,10 +63,13 @@ class Round14Spec extends SparkSpec {
         if (r.isNullAt(3)) -1L else r.getLong(3), r.isNullAt(4))).toSeq
     // ADVICE r13: before the left-join fix the empty kept version
     // yielded NO audit row at all (groupBy emits no group for an
-    // empty partition) — the audit silently lost a surviving snapshot
+    // empty partition) — the audit silently lost a surviving snapshot.
+    // ADVICE r14: its n_chars is now 0, matching the manifest's
+    // accounting convention (one representation on both surfaces);
+    // content_sum stays NULL (nothing to checksum).
     assert(rows.size == 2, s"audit must surface every kept version: $rows")
-    assert(rows.contains((0, "kept", 0L, -1L, true)),
-      s"empty kept version must surface as (0, kept, 0, NULL, NULL): $rows")
+    assert(rows.contains((0, "kept", 0L, 0L, true)),
+      s"empty kept version must surface as (0, kept, 0, 0, NULL): $rows")
     assert(rows.exists(r => r._1 == 1 && r._2 == "kept" && r._3 == 2L))
   }
 
