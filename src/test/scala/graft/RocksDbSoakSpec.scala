@@ -220,4 +220,50 @@ class RocksDbSoakSpec extends SparkSpec {
       }
     }
   }
+
+  test("T16 restart soak: RocksDB complete-mode census state survives a mid-stream checkpoint restart") {
+    import Streaming.DocRow
+    // the one stateful shape T12-T15 don't cover (VERDICT r14 #6): a
+    // COMPLETE-mode streaming aggregation, whose full grouped state —
+    // per-source doc counts and the Gopher dup-bigram/trigram moment
+    // sums — must be restored from the checkpoint, not just a per-key
+    // delta. The oracled batch twin (q295) is the reference.
+    val batch = SparkEntry.queries("q295_doc_repetition")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val rows = Tables.documents(spark, sf)
+      .select($"source", $"text").as[DocRow].collect().toSeq
+    assert(rows.size > 100, s"fixture too small: ${rows.size}")
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    withRocksDB {
+      val dir = Files.createTempDirectory("graft_t16_soak_").toString
+      val in = MemoryStream[DocRow](spark)
+      // complete mode emits the FULL census each batch — overwrite the
+      // sink so the final batch's output is the answer (the file sink
+      // is append-only and the memory sink does not support recovery)
+      def start() = Streaming.repetitionCensus(in.toDF())
+        .writeStream.foreachBatch(
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => df.write.mode("overwrite").parquet(s"$dir/out"))
+        .option("checkpointLocation", s"$dir/cp")
+        .outputMode("complete").start()
+      val q1 = start()
+      try { in.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      // the census sums over b1's docs live ONLY in the RocksDB
+      // checkpoint now; a recovery that reset them would make the
+      // final census count only b2
+      val q2 = start()
+      try { in.addData(b2); q2.processAllAvailable() } finally q2.stop()
+      val restarted = spark.read.parquet(s"$dir/out")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+      assert(restarted.keySet == batch.keySet)
+      restarted.foreach { case (src, got) =>
+        assert(got == batch(src),
+          s"source $src: restarted census $got != batch ${batch(src)}")
+      }
+    }
+  }
 }
