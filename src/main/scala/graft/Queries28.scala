@@ -147,9 +147,16 @@ object Queries28 {
     val toks = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("orig_fp"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val dict = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("n").desc, col("tok"))))
+    // the dictionary has THREE consumers (encode join, decode join,
+    // vocab census) and heads each one's lineage with a full tokenize
+    // census + the global rank window — lazy, that ran ~3x per action
+    // (r14 VERDICT #1c double-eval class). Materialized it runs once;
+    // the table is |vocab| rows (distinct tokens — dimension-bounded,
+    // NOT corpus-bounded), so the checkpoint is small at any sf.
+    val dict = Materialize.truncate(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("n").desc, col("tok")))))
     val encoded = toks.join(dict.select(col("tok"), col("id")), Seq("tok"))
       .groupBy(col("doc_id"), col("orig_fp"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, id))), p -> p.id)")
