@@ -16,6 +16,10 @@ object Verify {
       // correctness dump exercises the SAME physical plans the bench
       // measures — the oracle gate then re-proves every flipped join
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      // and Bench's surface-sized codegen cache (round 15): results
+      // are invariant, but the 307-query dump otherwise re-pays
+      // Janino compilation it could cache
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -19,6 +19,10 @@ object AbQ {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // Bench session shape (round 15): the surface-sized codegen
+      // cache also shrinks the compile-skip order bias the pass
+      // alternation exists to cancel — both arms hit warm classes
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val confs = args(0).split(";").map(_.trim).filter(_.contains("="))
