@@ -69,6 +69,39 @@ class Round15Spec extends SparkSpec {
     assert(m0.nDocs == 0L && m0.nChars == 0L)
   }
 
+  test("q17: the lake write lands few, whole files per partition dir (no small-file fan-out)") {
+    // the round-15 write shape (repartitionByRange + sortWithin) must
+    // keep the small-file guarantee the hash repartition gave: each
+    // (event_type, day) dir holds its rows in at most TWO part files
+    // (one, except where a range boundary splits a key) — a regression
+    // to pre-shuffle fan-out writes |tasks|x|dirs| fragments, the
+    // exact pathology q152's compaction exists to repair
+    val before = System.currentTimeMillis()
+    val res = SparkEntry.queries("q17_partitioned_write")(spark, sf)
+    val total = res.collect().map(_.getLong(1)).sum
+    val pid = ProcessHandle.current().pid()
+    val root = new java.io.File("/root/repo/target/lake")
+    val lake = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("q17_") &&
+        f.getName.endsWith(s"_p$pid") && f.lastModified() >= before - 60000)
+      .maxBy(_.lastModified())
+    val partDirs = for {
+      t <- Option(lake.listFiles()).getOrElse(Array.empty)
+      if t.isDirectory && t.getName.startsWith("event_type=")
+      day <- Option(t.listFiles()).getOrElse(Array.empty)
+      if day.isDirectory && day.getName.startsWith("day=")
+    } yield day
+    assert(partDirs.nonEmpty, s"no partition dirs under $lake")
+    partDirs.foreach { dir =>
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts >= 1 && parts <= 2,
+        s"${dir.getName}: $parts part files — small-file fan-out regressed")
+    }
+    // and the write lost nothing: read-back counts == source rows
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("Bench.windowVerdictOf: a plan-speedup-masked window can no longer stamp itself clean") {
     import Bench.windowVerdictOf
     // the ADVICE r14 scenario: true contention ~1.3x masked by a ~0.7x
