@@ -15,46 +15,29 @@ object Bench {
     * LOWER bound is the masking guard — immediately after a genuine
     * plan speedup the drift median drops well below 1, so a contended
     * window (true contention 1.3× masked by a 0.7× plan win → median
-    * ~0.9) could otherwise stamp itself `clean`; a median < 0.9 means
+    * ~0.9) could otherwise stamp itself `clean`; a median ≤ 0.9 means
     * the record no longer describes this code and the drift gauge is
     * unreliable either way → `unknown` until the record is
-    * re-baselined. Either signal missing → `unknown`.
+    * re-baselined. The bound is STRICT at 0.90 (ADVICE r15): the
+    * doc example's masked window lands at exactly ~0.9, so 0.90
+    * inclusive must read `unknown`, not `clean`. Either signal
+    * missing → `unknown`.
     */
   private[graft] def windowVerdictOf(spreadB2: Double, driftMedian: Double): String =
     if (spreadB2 < 0 || driftMedian < 0) "unknown"
-    else if (driftMedian < 0.9) "unknown"
+    else if (driftMedian <= 0.9) "unknown"
     else if (spreadB2 < 1.10 && driftMedian <= 1.05) "clean"
     else "contended"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
+    // harness-session parity (VERDICT r15 #4): the shared broadcast
+    // threshold + surface-sized codegen cache live in HarnessConf —
+    // Bench/Verify/AbQ must measure, dump, and A/B the SAME plans
+    val builder = HarnessConf(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // 64 MB broadcast threshold (round 14): Spark's 10 MB default is
-      // the famously conservative setting for 1 GB-executor clusters;
-      // on this 48 GB-heap harness (and on the 100+ GB-executor
-      // deployments this library targets) raising it is standard
-      // practice. Measured same-JVM order-alternated A/B (tools/AbQ,
-      // null test passing — PERF.md §1f): join-panel B/A ≈ 0.92, with
-      // the real SMJ→BHJ flips on q235 (0.67×) and q259 (0.53×), rest
-      // ~1.0 (results invariant; every query stays oracle-gated).
-      // AQE stays ON — its runtime-stat conversion uses this same
-      // threshold, so the two compose rather than conflict.
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-      // Codegen class cache sized for the surface (round 15): the
-      // static default (spark.sql.codegen.cache.maxEntries = 100)
-      // LRU-thrashes under 307 queries × several codegen units each —
-      // by the time a pass loops back to q01 its generated classes
-      // are evicted, so EVERY pass re-pays Janino compilation for the
-      // whole surface (the same compile-skip effect the AbQ null test
-      // exposed, but as a per-pass tax). Sizing the cache to hold the
-      // full surface makes warmup compile once and every timed pass
-      // measure execution, not compilation.
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.shuffle.partitions", cpus))
     // Builder-side A/B aid: SPARK_GRAFT_CONF="k=v;k=v" overlays extra
     // session confs for config experiments. The driver never sets it.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)

@@ -23,6 +23,21 @@ object Queries {
 
   private def ev(s: SparkSession, d: String) = events(s, d)
 
+  /** Volume-sized write-task count for the partitioned lake sinks
+    * (ADVICE r15): `ceil(inputBytes / targetBytes)`, floored at 8 so a
+    * small fixture still exercises a multi-task ranged write, capped
+    * at 1M tasks (100 TB / 128 MB ≈ 800k — the cap only guards an
+    * absurd conf, it never binds a real deployment). The floor keeps
+    * the sf0.1 harness shape byte-identical to the measured round-15
+    * record (8 tasks); a 1 TB input at the 128 MB default derives
+    * ~8192 write tasks instead of serializing onto 8.
+    */
+  private[graft] def writeTaskCount(inputBytes: BigInt, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val derived = (inputBytes + targetBytes - 1) / targetBytes
+    derived.max(8).min(1 << 20).toInt
+  }
+
   /** Global sort at the end of each query is for oracle determinism
     * (range-partition exchange); at 100 TB a consumer would drop the
     * final ORDER BY — it is not part of operator semantics.
@@ -170,16 +185,21 @@ object Queries {
     val out = LakeJanitor.freshLakeDir(d)
     // partition-aligned RANGE pre-partition + in-task sort (round 15,
     // VERDICT r13 #1d measured): contiguous (event_type, day) ranges
-    // land in write tasks sized by VOLUME (8 tasks for this ~40 MB
-    // input vs 128-512 MB file targets — a deployment scales the
-    // count by bytes/target, not by shuffle.partitions), each dir
-    // still gets its file(s) whole, and the sort hands the dynamic-
-    // partition writer pre-clustered rows with tight min/max zone
-    // maps. Measured min-of-3 vs the hash repartition(cols) form:
-    // 0.91 vs 2.23 s (tools/WriteShape) — the hash form fanned ~150
-    // tiny dirs across 32 task commits
+    // land in write tasks sized by VOLUME — bytes/target, not
+    // shuffle.partitions — each dir still gets its file(s) whole, and
+    // the sort hands the dynamic-partition writer pre-clustered rows
+    // with tight min/max zone maps. Measured min-of-3 vs the hash
+    // repartition(cols) form: 0.91 vs 2.23 s (tools/WriteShape) —
+    // the hash form fanned ~150 tiny dirs across 32 task commits.
+    // The task count is DERIVED from the scan's size estimate
+    // (ADVICE r15 — a hardcoded 8 sized for the ~40 MB sf0.1 fixture
+    // would silently serialize the write on a bigger SPARK_GRAFT_SF_DIR)
+    val nWrite = writeTaskCount(
+      ev(s, d).queryExecution.optimizedPlan.stats.sizeInBytes,
+      s.conf.getOption("spark.graft.write.targetBytes")
+        .map(_.toLong).getOrElse(128L << 20))
     ev(s, d).withColumn("day", to_date(col("ts")))
-      .repartitionByRange(8, col("event_type"), col("day"))
+      .repartitionByRange(nWrite, col("event_type"), col("day"))
       .sortWithinPartitions(col("event_type"), col("day"))
       .write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
     s.read.parquet(out)

@@ -7,20 +7,29 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // harness-session parity (VERDICT r15 #4, via HarnessConf): the
+    // dump exercises the SAME physical plans Bench measures — the
+    // oracle gate then re-proves every threshold-flipped join — and
+    // the surface-sized codegen cache keeps the 307-query dump from
+    // re-paying Janino compilation (5m16s → 3m36s, PERF.md §1g)
+    val builder = HarnessConf(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // mirror Bench's 64 MB broadcast threshold (round 14) so the
-      // correctness dump exercises the SAME physical plans the bench
-      // measures — the oracle gate then re-proves every flipped join
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-      // and Bench's surface-sized codegen cache (round 15): results
-      // are invariant, but the 307-query dump otherwise re-pays
-      // Janino compilation it could cache
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
+      .config("spark.sql.shuffle.partitions", cpus))
+    // Builder-side experiment overlay (mirrors Bench, round 16):
+    // SPARK_GRAFT_CONF="k=v;k=v" adds session confs — used for the
+    // reliable-checkpoint differential drive (VERDICT r15 #5). The
+    // driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    // reliable `checkpoint()` needs a checkpoint dir; give the flag a
+    // default one so a flag-on drive works out of the box (a real
+    // deployment points this at the lake/DFS instead)
+    if (spark.conf.getOption("spark.graft.reliableCheckpoint").contains("true")
+        && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-verify-ckpt").toString)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Builder-side iteration aid: SPARK_GRAFT_ONLY=q163,q164 restricts the

@@ -47,11 +47,19 @@ object Skew {
     * unpersisted: CacheManager deduped the two persists onto one
     * shared cache entry, and releasing it would evict the stage the
     * new DataFrame is about to use.
+    *
+    * `blocking` (default false — the production path must not stall a
+    * put() on block cleanup) exists for the pin test (ADVICE r15): a
+    * negative assertion ("the plan-equal entry was NOT unpersisted")
+    * over an async unpersist is a timing race; the test passes
+    * blocking = true so any wrongly-issued unpersist completes before
+    * the call returns and the assertion is deterministic.
     */
-  private[graft] def releaseDisplaced(displaced: DataFrame, next: DataFrame): Unit =
+  private[graft] def releaseDisplaced(displaced: DataFrame, next: DataFrame,
+      blocking: Boolean = false): Unit =
     if (displaced.queryExecution.analyzed.canonicalized !=
         next.queryExecution.analyzed.canonicalized)
-      try displaced.unpersist(blocking = false)
+      try displaced.unpersist(blocking)
       catch { case _: Throwable => () }
 
   private def trackStage(df: DataFrame): Unit = localStages.synchronized {

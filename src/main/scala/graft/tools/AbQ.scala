@@ -16,14 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object AbQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Bench session shape (round 15): the surface-sized codegen
-      // cache also shrinks the compile-skip order bias the pass
-      // alternation exists to cancel — both arms hit warm classes
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Bench session shape via HarnessConf (VERDICT r15 #4): an A/B
+    // under a DIFFERENT broadcast threshold or codegen cache would
+    // measure plans the bench never runs; the surface-sized codegen
+    // cache also shrinks the compile-skip order bias the pass
+    // alternation exists to cancel — both arms hit warm classes
+    val spark = graft.HarnessConf(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val confs = args(0).split(";").map(_.trim).filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq

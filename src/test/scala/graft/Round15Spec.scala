@@ -27,16 +27,20 @@ class Round15Spec extends SparkSpec {
     assert(awaitCached(before + 2) == before + 2)
     // plan-EQUAL displacement (same canonical plan, re-built df):
     // CacheManager deduped the persists onto one entry — the guard
-    // must NOT release it (the survivor is about to use it)
+    // must NOT release it (the survivor is about to use it).
+    // blocking = true (ADVICE r15): with async unpersist this was a
+    // sleep-then-assert negative — a slow wrongly-issued unpersist
+    // could land after the assert and pass flakily; blocking makes
+    // any unpersist complete before the call returns, so the
+    // immediate assert is deterministic
     val aTwin = Seq((1, "a"), (2, "b")).toDF("k", "v")
-    graft.operators.Skew.releaseDisplaced(a, aTwin)
-    Thread.sleep(500)
+    graft.operators.Skew.releaseDisplaced(a, aTwin, blocking = true)
     assert(cachedN == before + 2,
       "plan-equal displacement must not unpersist the shared cache entry")
     // plan-DIFFERENT displacement (the ADVICE r14 hole: an Int
     // semanticHash collision displaces a distinct plan): the displaced
     // DataFrame's cache entry must be released, not leaked untracked
-    graft.operators.Skew.releaseDisplaced(a, b)
+    graft.operators.Skew.releaseDisplaced(a, b, blocking = true)
     assert(awaitCached(before + 1) == before + 1,
       "a displaced distinct-plan stage must be unpersisted")
     b.unpersist(blocking = true)

@@ -1,0 +1,97 @@
+package graft
+
+/** Round-16 hardening gates (ADVICE r15 + VERDICT r15 #4). */
+class Round16Spec extends SparkSpec {
+
+  test("Bench.windowVerdictOf: the 0.90 masking bound is STRICT (ADVICE r15)") {
+    import Bench.windowVerdictOf
+    // the doc-comment's masking example (true contention 1.3x masked
+    // by a 0.7x plan win) lands at median ~0.9 EXACTLY — inclusive
+    // trust at the boundary would stamp that window clean
+    assert(windowVerdictOf(1.05, 0.90) == "unknown")
+    // just above the bound the drift gauge is trusted again
+    assert(windowVerdictOf(1.05, 0.901) == "clean")
+    assert(windowVerdictOf(1.05, 1.05) == "clean")
+    assert(windowVerdictOf(1.05, 1.051) == "contended")
+  }
+
+  test("window_hunt keep rule requires the artifact's own clean verdict (ADVICE r15)") {
+    // the dmed <= MAX_KEEP bound alone admits medians <= 0.9 that
+    // windowVerdictOf classifies as 'unknown' (plan-win masking) — the
+    // keep gate must also read the fired artifact's window_quality
+    // verdict. Pin the script's gate line so a future edit dropping
+    // the verdict check fails here rather than silently re-opening
+    // the masked-window hole.
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/window_hunt.sh")), "UTF-8")
+    assert(script.contains("""'$verdict' == 'clean'"""),
+      "window_hunt.sh keep rule no longer requires verdict == clean")
+    assert(script.contains("window_quality"),
+      "window_hunt.sh no longer reads the artifact's window_quality block")
+  }
+
+  test("writeTaskCount: volume-derived, floored at 8, ceil semantics (ADVICE r15)") {
+    import Queries.writeTaskCount
+    val mb128 = 128L << 20
+    // the sf-fixture regime (~40 MB input): floor holds — the write
+    // shape stays byte-identical to the measured round-15 record
+    assert(writeTaskCount(BigInt(40L << 20), mb128) == 8)
+    assert(writeTaskCount(BigInt(0), mb128) == 8)
+    // 1 TB at the 128 MB default target: 8192 write tasks, not 8 —
+    // the ADVICE r15 scenario (a bigger SPARK_GRAFT_SF_DIR silently
+    // serializing the whole write onto 8 tasks) can no longer happen
+    assert(writeTaskCount(BigInt(1L << 40), mb128) == 8192)
+    // ceil, not floor: 129 MB of input needs 2 target-sized files
+    assert(writeTaskCount(BigInt(129L << 20), mb128) == math.max(8, 2))
+    assert(writeTaskCount(BigInt(129L << 20), mb128) == 8) // still under the floor
+    assert(writeTaskCount(BigInt(10L) * (1L << 30), 1L << 30) == 10)
+    // runaway-conf cap only (never binds a real deployment)
+    assert(writeTaskCount(BigInt(1L << 60), 1L) == (1 << 20))
+    intercept[IllegalArgumentException](writeTaskCount(BigInt(1), 0L))
+  }
+
+  test("harness-session parity: Bench/Verify/AbQ all carry the HarnessConf confs (VERDICT r15 #4)") {
+    // the values themselves: the 64 MB broadcast threshold (PERF.md
+    // §1f) and the surface-sized codegen cache (§1g) — the two confs
+    // whose silent loss would re-open a ~38 s/pass recompile tax or
+    // A/B-measure plans the bench never runs
+    val m = HarnessConf.common.toMap
+    assert(m("spark.sql.codegen.cache.maxEntries") == "8192")
+    assert(m("spark.sql.autoBroadcastJoinThreshold") == "67108864")
+    assert(m("spark.sql.session.timeZone") == "UTC")
+    // and the structure: every harness entrypoint builds its session
+    // THROUGH HarnessConf — no entrypoint re-declares the keys
+    // locally, where one copy could drift from the others
+    val entrypoints = Seq(
+      "src/main/scala/graft/Bench.scala",
+      "src/main/scala/graft/Verify.scala",
+      "src/main/scala/graft/tools/AbQ.scala")
+    entrypoints.foreach { p =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      assert(src.contains("HarnessConf(SparkSession.builder()"),
+        s"$p no longer builds its session through HarnessConf")
+      HarnessConf.common.map(_._1).foreach { k =>
+        assert(!src.contains("\"" + k + "\""),
+          s"$p re-declares $k locally — parity can drift")
+      }
+    }
+  }
+
+  test("HarnessConf confs are builder-settable on a fresh session (static conf discipline)") {
+    // spark.sql.codegen.cache.maxEntries is a STATIC SQL conf — it
+    // only takes effect when set at builder time on the FIRST session
+    // of the JVM, which is exactly where Bench/Verify/AbQ apply
+    // HarnessConf. Runtime-setting it on the shared test session is
+    // expected to be rejected; pin that so nobody "simplifies" the
+    // harness entrypoints into spark.conf.set(...) after getOrCreate,
+    // where the cache sizing would silently not apply.
+    intercept[Exception] {
+      spark.conf.set("spark.sql.codegen.cache.maxEntries", "8192")
+    }
+    // the broadcast threshold IS runtime-modifiable (AbQ relies on
+    // that for its arms); assert the modifiability split explicitly
+    assert(spark.conf.isModifiable("spark.sql.autoBroadcastJoinThreshold"))
+    assert(!spark.conf.isModifiable("spark.sql.codegen.cache.maxEntries"))
+  }
+}

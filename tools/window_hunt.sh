@@ -2,8 +2,9 @@
 # Unattended probe->fire loop (VERDICT r14 #2): every cycle, qualify
 # the window with the restricted Bench probe against the committed
 # record; fire the full bench only at probe median <= MAX_PROBE; keep
-# the artifact only if its own drift median <= MAX_KEEP AND the total
-# beats the committed record, else restore PERF_QUERIES.json. Stops
+# the artifact only if its own window_quality verdict is "clean" AND
+# its drift median <= MAX_KEEP AND the total beats the committed
+# record, else restore PERF_QUERIES.json. Stops
 # after the first kept record or when the deadline passes.
 set -u
 cd /root/repo
@@ -47,14 +48,20 @@ try:
     med = drift['median'] if drift else 99
     tot = d['total_min_per_query_s']
     prev = drift['prev_total_min_per_query_s'] if drift else 0
-    print(f"{med} {tot} {prev}")
+    verdict = d['gate']['window_quality']['verdict']
+    print(f"{med} {tot} {prev} {verdict}")
 except Exception as e:
-    print("99 -1 0")
+    print("99 -1 0 unknown")
 EOF
 )
-    read -r dmed tot prev <<< "$res"
-    echo "[hunt] fired: total=$tot drift_median=$dmed prev=$prev" >> "$LOG"
-    keep=$(python3 -c "print(1 if $dmed <= $MAX_KEEP and 0 < $tot < $prev else 0)")
+    read -r dmed tot prev verdict <<< "$res"
+    echo "[hunt] fired: total=$tot drift_median=$dmed prev=$prev verdict=$verdict" >> "$LOG"
+    # keep gate (ADVICE r15): the dmed <= MAX_KEEP bound alone admits
+    # drift medians <= 0.9, which Bench.windowVerdictOf classifies as
+    # 'unknown' (a plan speedup can mask true contention there) — so
+    # the artifact's OWN window_quality verdict must read "clean" too;
+    # that bounds dmed to (0.90, MAX_KEEP] and the spread to < 1.10
+    keep=$(python3 -c "print(1 if '$verdict' == 'clean' and $dmed <= $MAX_KEEP and 0 < $tot < $prev else 0)")
     if [ "$keep" = "1" ]; then
       echo "[hunt] KEEPING record total=$tot" >> "$LOG"; exit 0
     else
