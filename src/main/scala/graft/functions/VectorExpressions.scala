@@ -261,4 +261,67 @@ object VectorExpressions {
 
   def jl_audit(vec: Column, signs: IndexedSeq[IndexedSeq[Int]]): Column =
     ExpressionUtils.column(JlAudit(ExpressionUtils.expression(vec), signs))
+
+  /** |A ∩ B| over two arrays of DISTINCT longs (the shingle-hash
+    * arrays: ShingleHashes emits a LinkedHashSet, so both sides are
+    * duplicate-free and `size(array_intersect(a, b))` equals this
+    * count exactly — the swap cannot change any result). Built for
+    * the PPJoin exact-verify hot path (q125 — round 16, VERDICT r15
+    * #6): array_intersect builds a hash set AND materializes the
+    * intersection as a new array that `size` immediately discards;
+    * this kernel copies both sides to primitive long[], sorts, and
+    * merge-counts — no per-element boxing, no output allocation,
+    * whole-stage-codegen friendly. O((n+m) log) vs O(n+m) expected
+    * for the hash form, but the constant factor (no allocation, no
+    * hashing, branch-predictable merge on ~10²-element arrays) is
+    * what the A/B measures.
+    */
+  case class IntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toLongArray()
+      val b = r.asInstanceOf[ArrayData].toLongArray()
+      java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) i += 1
+        else if (a(i) > b(j)) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        s"""
+           |long[] $xs = $a.toLongArray();
+           |long[] $ys = $b.toLongArray();
+           |java.util.Arrays.sort($xs);
+           |java.util.Arrays.sort($ys);
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $xs.length && $j < $ys.length) {
+           |  if ($xs[$i] < $ys[$j]) { $i++; }
+           |  else if ($xs[$i] > $ys[$j]) { $j++; }
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Count of common elements between two duplicate-free long arrays. */
+  def intersect_size(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectSize(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -62,7 +62,7 @@ object Skew {
       try displaced.unpersist(blocking)
       catch { case _: Throwable => () }
 
-  private def trackStage(df: DataFrame): Unit = localStages.synchronized {
+  private[operators] def trackStage(df: DataFrame): Unit = localStages.synchronized {
     val key = df.sparkSession.sparkContext.applicationId + "|" +
       df.queryExecution.analyzed.semanticHash()
     val prev = localStages.put(key, df)

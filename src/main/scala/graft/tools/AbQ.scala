@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * count is load-bearing, the per-pass order alternation only
   * cancels the codegen-compile-skip bias when each arm takes the
   * favored second slot equally often; min per arm).
+  *
+  * NOT VALID for persist/cache toggles (round 16, PERF.md §1h):
+  * CacheManager substitutes any cached canonical plan into BOTH
+  * arms, so the no-persist arm silently reads the persist arm's
+  * cache and B/A reads 1.00 regardless of the real effect. Measure
+  * persistence changes with a decomposition probe (time the
+  * non-persisted subplan before any persist-on execution) plus
+  * steady-state TimeQ against record-normalized controls.
   */
 object AbQ {
   def main(args: Array[String]): Unit = {

@@ -11,10 +11,11 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.toSet
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // HarnessConf (VERDICT r15 #4): join strategies in the printed
+    // plans must reflect the bench session's 64 MB broadcast
+    // threshold, not the 10 MB default
+    val spark = graft.HarnessConf(SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -65,7 +65,9 @@ class Round16Spec extends SparkSpec {
     val entrypoints = Seq(
       "src/main/scala/graft/Bench.scala",
       "src/main/scala/graft/Verify.scala",
-      "src/main/scala/graft/tools/AbQ.scala")
+      "src/main/scala/graft/tools/AbQ.scala",
+      "src/main/scala/graft/tools/TimeQ.scala",
+      "src/main/scala/graft/tools/Plans.scala")
     entrypoints.foreach { p =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), "UTF-8")
@@ -76,6 +78,35 @@ class Round16Spec extends SparkSpec {
           s"$p re-declares $k locally — parity can drift")
       }
     }
+  }
+
+  test("IntersectSize == size(array_intersect) on distinct-long arrays, and q125 is kernel-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions.intersect_size
+    // property check over deterministic pseudo-random DISTINCT sets
+    // (the ShingleHashes contract: both sides duplicate-free)
+    val rng = new scala.util.Random(20260816L)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rng.nextInt(300))(rng.nextInt(500).toLong).distinct
+      val b = Seq.fill(rng.nextInt(300))(rng.nextInt(500).toLong).distinct
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("a", "b").select(
+      intersect_size(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("s"))
+    assert(df.filter(col("k") =!= col("s")).count() == 0)
+    // and the whole q125 pipeline returns identical rows under both
+    // kernel conf values (the gate only swaps the kernel, never the
+    // answer) — set/unset around fresh plan builds
+    def rowsOf(): Seq[String] =
+      SparkEntry.queries("q125_prefix_similarity_join")(spark, sf)
+        .collect().map(_.toString).toSeq
+    val smRows = rowsOf() // default: sortmerge kernel
+    spark.conf.set("spark.graft.verifyIntersect", "hash")
+    try assert(rowsOf() == smRows, "kernel swap changed q125 results")
+    finally spark.conf.unset("spark.graft.verifyIntersect")
+    assert(smRows.nonEmpty)
   }
 
   test("HarnessConf confs are builder-settable on a fresh session (static conf discipline)") {
