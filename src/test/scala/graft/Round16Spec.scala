@@ -109,6 +109,26 @@ class Round16Spec extends SparkSpec {
     assert(smRows.nonEmpty)
   }
 
+  test("prefixJaccardPairs bucket persist is registry-bounded: re-invocation adds at most one live cache entry") {
+    // the round-16 bucket-stage persist rides Skew's LRU registry
+    // (the chunkedSessionize lifecycle): repeated executions over the
+    // SAME inputs share one canonical plan → one cache entry, never a
+    // per-invocation leak (the ADVICE r13 hole class)
+    val sc = spark.sparkContext
+    def cachedN = sc.getRDDStorageInfo.length
+    val posted = LshStages.dfPostings(spark, sf)
+    val sets = LshStages.docShingleSets(spark, sf)
+    graft.operators.Dedup
+      .prefixJaccardPairs(posted, sets, tNum = 4, tDen = 5).count()
+    val after1 = cachedN
+    (1 to 3).foreach { _ =>
+      graft.operators.Dedup
+        .prefixJaccardPairs(posted, sets, tNum = 4, tDen = 5).count()
+    }
+    assert(cachedN == after1,
+      s"repeat executions grew the cache: $after1 -> $cachedN")
+  }
+
   test("HarnessConf confs are builder-settable on a fresh session (static conf discipline)") {
     // spark.sql.codegen.cache.maxEntries is a STATIC SQL conf — it
     // only takes effect when set at builder time on the FIRST session
