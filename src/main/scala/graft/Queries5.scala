@@ -45,8 +45,18 @@ object Queries5 {
     * cap only prunes which shingles may propose/count intersections.
     */
   def q102(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(s, d), col("text"), col("doc_id"),
-        n = 3, minJaccard = 0.12, maxDf = 5)
+    // Round 16: derive from the session-cached df-annotated posting
+    // stage (LshStages.dfPostings — same shingle_hashes(text, 3)
+    // kernel, same (doc_id, tok, n) rows) instead of re-running the
+    // shingle pass per execution, and persist the bucket stage so the
+    // flood fallback's aliased self-join does not re-pay the
+    // collect_list aggregate twice (the q125 finding, PERF.md §1h).
+    // Bit-identical to ngramJaccardPairs(documents, …, maxDf = 5):
+    // the df cap filters the SAME bucket sizes either way.
+    Dedup.jaccardFrom(
+        Dedup.pairStatsFromPostings(LshStages.dfPostings(s, d),
+          maxDf = 5, persistBuckets = true),
+        minJaccard = 0.12)
       .orderBy(col("a_id"), col("b_id"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
