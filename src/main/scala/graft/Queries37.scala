@@ -38,7 +38,22 @@ object Queries37 {
       "_i" + invocation.incrementAndGet()
     val base = documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
-    val manifests = (1 to 4).map(k => Snapshots.writeVersion(base, dir, k))
+    // The four version commits are INDEPENDENT jobs (distinct v=k
+    // dirs, each derived from the base corpus alone), so they run
+    // concurrently from a small pool (guide §2.6 — overlap
+    // independent jobs so one commit's task tail back-fills with the
+    // next commit's tasks) instead of paying four sequential write
+    // latencies. Future.sequence keeps the manifest log in version
+    // order; determinism and every written byte are unchanged. The
+    // same overlap is the right posture at 100 TB, where the four
+    // commits would otherwise serialize four object-store round
+    // trips.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val manifests = Await.result(
+      Future.sequence((1 to 4).map(k =>
+        Future(Snapshots.writeVersion(base, dir, k)))), Duration.Inf)
     val (kept, expired) = Snapshots.vacuum(dir, manifests, keepDays = 2)
     require(kept == Set(3, 4) && expired == Set(1, 2),
       s"retention rule drifted: kept=$kept expired=$expired")

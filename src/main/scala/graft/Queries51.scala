@@ -13,6 +13,17 @@ object Queries51 {
   /** Shared per-type daily series: t = day index from the type's
     * first day, x as EXACT decimal(18,4) (and its double image for
     * residual arithmetic).
+    *
+    * Materialized per execution (round 16, the q255/q267 move): the
+    * lazy frame headed EVERY consumer's lineage, and q251's consumer
+    * tree (moments, residuals, median rank, refit) multiplied it into
+    * **24 parquet scans of the events fact in one plan**
+    * (plans/r16/q251_huber_irls_before.txt — aliased subtrees defeat
+    * exchange reuse, the q125 lesson). Truncated, the fact aggregate
+    * runs once and every consumer reads the ≤|types|×|days| rows.
+    * `minDay` as a window over the same grouping key keeps the whole
+    * series build inside the daily aggregate's single exchange — the
+    * broadcast join-back it replaces was a second job per reference.
     */
   private def series(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
@@ -21,11 +32,12 @@ object Queries51 {
         expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(round(sum(col("value").cast("decimal(38,10)")), 4)
         .cast("decimal(18,4)").as("x"))
-    val minDay = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("d0"))
-    daily.join(broadcast(minDay), Seq("event_type"))
+    daily
+      .withColumn("d0",
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
       .select(col("event_type"), (col("day") - col("d0")).as("t"),
         col("x"), col("x").cast("double").as("xd"))
+      .transform(Materialize.truncate)
   }
 
   /** q251 — HUBER ROBUST REGRESSION, ONE IRLS STEP (X161). q227's
@@ -45,7 +57,14 @@ object Queries51 {
     */
   def q251(s: SparkSession, d: String): DataFrame = {
     val ser = series(s, d)
-    val mom0 = ser.groupBy(col("event_type"))
+    // ONE moment aggregate: the old second aggregate (sxd/std/n2,
+    // joined back onto mom0) recomputed columns that are pure
+    // projections of THIS aggregate's sums — sxd = cast(sx as
+    // double), std = cast(st as double), n2 = n — so the OLS
+    // intercept is derived here from the same exact decimal sums
+    // (bit-identical doubles, one aggregate and zero joins instead
+    // of two aggregates and one join; round 16)
+    val mom0b = ser.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("t")).as("st"),
         sum(col("x")).as("sx"),
@@ -56,25 +75,28 @@ object Queries51 {
           col("st").cast("double") * col("sx").cast("double")) /
           (col("n") * col("stt").cast("double") -
             col("st").cast("double") * col("st").cast("double")))
-          .as("slope0"))
-    val mom0b = mom0.join(ser.groupBy(col("event_type"))
-        .agg(sum(col("x")).cast("double").as("sxd"),
-          sum(col("t")).cast("double").as("std"),
-          count(lit(1)).as("n2")), Seq("event_type"))
+          .as("slope0"),
+        col("st"), col("sx"))
       .select(col("event_type"), col("n"), col("slope0"),
-        ((col("sxd") - col("slope0") * col("std")) / col("n2"))
-          .as("int0"))
+        ((col("sx").cast("double") - col("slope0") * col("st").cast("double"))
+          / col("n")).as("int0"))
     val resid = ser.join(broadcast(mom0b), Seq("event_type"))
       .withColumn("ar",
         abs(col("xd") - (col("int0") + col("slope0") * col("t"))))
-    val med = resid
+    // MAD median carried by a same-partition window instead of the
+    // old rank-filter + broadcast-join-back (round 16): the picked
+    // |r| is the unique row at rank (n+1) div 2, broadcast to its
+    // partition by max(when(...)) over the SAME event_type
+    // partitioning the rank window established — no second exchange,
+    // no join, and `resid` is consumed once instead of twice. Same
+    // pick, same tiebreak, same k = 1.345·1.4826·|r|_med.
+    val wByType = Window.partitionBy(col("event_type"))
+    val weighted = resid
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("ar"), col("t"))))
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("event_type"),
-        (lit(1.345) * lit(1.4826) * col("ar")).as("k"))
-    val weighted = resid.join(broadcast(med), Seq("event_type"))
+        wByType.orderBy(col("ar"), col("t"))))
+      .withColumn("k", lit(1.345) * lit(1.4826) *
+        max(when(col("rn") === expr("(n + 1) div 2"), col("ar")))
+          .over(wByType))
       .withColumn("w",
         round(when(col("ar") === 0.0, lit(1.0))
           .otherwise(least(lit(1.0), col("k") / col("ar"))), 6)

@@ -119,13 +119,28 @@ object Queries52 {
     * (count+1) div 2 in (v, tiebreak) order — EXACT (a decimal value
     * that exists in the data is selected, never interpolated).
     */
-  private def medianBy(df: DataFrame, key: String, v: String,
+  /** Lower-median CARRIED onto every row of its partition (round 16):
+    * rank the partition, pick the value at rank (__n + 1) div 2, and
+    * broadcast it partition-wide with max(when(...)) over the SAME
+    * partitioning the rank window established — one exchange per key
+    * switch, zero joins. The old form filtered the picked row out and
+    * broadcast-joined it back: each of q255's four medians paid a
+    * broadcast build plus a full re-execution of its input branch
+    * (15 AQE stage-jobs for the query; the join-back chains re-ran
+    * every upstream sweep per consumer — see
+    * plans/r16/q255_median_polish_before.txt). Pick, tiebreak and
+    * exact-BIGINT value are unchanged.
+    */
+  private def withMedianBy(df: DataFrame, key: String, v: String,
       tiebreak: String, out: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(v), col(tiebreak))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
-      .filter(col("__rn") === expr("(__n + 1) div 2"))
-      .select(col(key), col(v).as(out))
+    val wAll = Window.partitionBy(col(key))
+    df.withColumn("__rn", row_number().over(
+        wAll.orderBy(col(v), col(tiebreak))))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(out,
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col(v)))
+          .over(wAll))
+      .drop("__rn", "__n")
   }
 
   /** q255 — TUKEY MEDIAN POLISH (X165, 2 fixed sweeps). Robust
@@ -156,22 +171,17 @@ object Queries52 {
       // lazy chain re-aggregated the events fact FIVE times (once per
       // median + the final select); materialized it runs once
       .transform(Materialize.truncate)
-    // sweep 1: rows then columns
-    val rm1 = medianBy(cells, "event_type", "v", "dow", "rm1")
-    val c1 = cells.join(broadcast(rm1), Seq("event_type"))
+    // sweep 1: rows then columns — each median rides its own window
+    // carry (one linear plan, alternating event_type/dow exchanges;
+    // no joins, no re-executed sweep branches)
+    val c1 = withMedianBy(cells, "event_type", "v", "dow", "rm1")
       .withColumn("v1", col("v") - col("rm1"))
-    val cm1 = medianBy(c1.select(col("dow"), col("v1"), col("event_type")),
-      "dow", "v1", "event_type", "cm1")
-    val c2 = c1.join(broadcast(cm1), Seq("dow"))
+    val c2 = withMedianBy(c1, "dow", "v1", "event_type", "cm1")
       .withColumn("v2", col("v1") - col("cm1"))
     // sweep 2
-    val rm2 = medianBy(c2.select(col("event_type"), col("v2"), col("dow")),
-      "event_type", "v2", "dow", "rm2")
-    val c3 = c2.join(broadcast(rm2), Seq("event_type"))
+    val c3 = withMedianBy(c2, "event_type", "v2", "dow", "rm2")
       .withColumn("v3", col("v2") - col("rm2"))
-    val cm2 = medianBy(c3.select(col("dow"), col("v3"), col("event_type")),
-      "dow", "v3", "event_type", "cm2")
-    c3.join(broadcast(cm2), Seq("dow"))
+    withMedianBy(c3, "dow", "v3", "event_type", "cm2")
       .select(col("event_type"), col("dow"),
         (col("v").cast("double") / lit(10000.0)).as("v"),
         ((col("rm1") + col("rm2")).cast("double") / lit(10000.0))

@@ -50,17 +50,22 @@ object Snapshots {
     * real table format keeps in metadata).
     */
   def writeVersion(base: DataFrame, dir: String, k: Int): Manifest = {
-    versionDf(base, k).write.mode("overwrite").parquet(s"$dir/v=$k")
-    // commit-time accounting from the COMMITTED files (what a table
-    // format records): a narrow n_chars read of what just landed —
-    // re-aggregating versionDf would re-run the full-text md5 pass a
-    // second time per version (the lazy-double-evaluation cost class)
-    // coalesce: an EMPTY commit (the derivation rule can drop every
-    // row) sums n_chars to NULL, and the manifest records 0 (r14)
-    val r = base.sparkSession.read.parquet(s"$dir/v=$k")
-      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
-      .collect()(0)
-    Manifest(k, commitDay = k, r.getLong(0), r.getLong(1))
+    // commit-time accounting from the COMMIT JOB ITSELF (round 16,
+    // guide §1.4/§2): `observe` rides the write pass, so the stats
+    // count exactly the rows the commit landed — the same numbers the
+    // post-hoc read-back produced, without its second job per version
+    // (q215 paid 2 jobs × 4 versions in the write phase; a real table
+    // format likewise records commit stats from the commit, not from
+    // re-listing the files). coalesce: an EMPTY commit (the
+    // derivation rule can drop every row) sums n_chars to NULL, and
+    // the manifest records 0 (r14 — Round14Spec pins it).
+    val obs = new org.apache.spark.sql.Observation(s"commit|$dir|v=$k")
+    versionDf(base, k)
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/v=$k")
+    Manifest(k, commitDay = k, obs.get("n_docs").asInstanceOf[Long],
+      obs.get("n_chars").asInstanceOf[Long])
   }
 
   /** Which versions does the retention policy keep? Commit day

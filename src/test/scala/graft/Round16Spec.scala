@@ -129,6 +129,61 @@ class Round16Spec extends SparkSpec {
       s"repeat executions grew the cache: $after1 -> $cachedN")
   }
 
+  test("writeVersion observe-based manifest stats equal a post-hoc read-back of the committed files") {
+    // round 16: commit stats now ride the write job (Observation)
+    // instead of a second read-back job per version. Pin the
+    // equivalence the optimization rests on: the observed counts are
+    // EXACTLY what a narrow aggregate over the committed files reads
+    // — including the empty-commit n_chars=0 convention (r14).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files
+      .createTempDirectory("r16-obs-manifest").toString
+    val base = spark.range(0, 200)
+      .selectExpr("id as doc_id", "concat('t', id) as text",
+        "id % 97 as n_chars")
+    val ms = (1 to 3).map(k => Snapshots.writeVersion(base, dir, k))
+    ms.foreach { m =>
+      val r = spark.read.parquet(s"$dir/v=${m.version}")
+        .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+        .collect()(0)
+      assert(m.nDocs == r.getLong(0) && m.nChars == r.getLong(1),
+        s"v=${m.version}: observed (${m.nDocs},${m.nChars}) != " +
+          s"read-back (${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("window-carried lower median equals the rank-filter pick on every partition (q251/q255 rewrite)") {
+    // round 16: q251's MAD scale and q255's four polish medians carry
+    // the rank-picked median partition-wide via max(when(rn = (n+1)
+    // div 2, v)) over the SAME partitioning, replacing the old
+    // rank-filter + broadcast-join-back (which re-executed its input
+    // branch per consumer). Pin value equivalence on a randomized
+    // frame with duplicate values and singleton/even/odd partitions.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(20260819L)
+    val rows = for (k <- 1 to 7; i <- 1 to (k * 3 - 2))
+      yield (s"k$k", i, rng.nextInt(9).toLong)
+    val df = rows.toDF("key", "tb", "v")
+    val wAll = Window.partitionBy(col("key"))
+    val carried = df
+      .withColumn("rn", row_number().over(wAll.orderBy(col("v"), col("tb"))))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("v")))
+          .over(wAll))
+      .select(col("key"), col("med")).distinct()
+    val picked = df
+      .withColumn("rn", row_number().over(wAll.orderBy(col("v"), col("tb"))))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("key"), col("v").as("med"))
+    assert(carried.except(picked).count() == 0 &&
+      picked.except(carried).count() == 0)
+  }
+
   test("HarnessConf confs are builder-settable on a fresh session (static conf discipline)") {
     // spark.sql.codegen.cache.maxEntries is a STATIC SQL conf — it
     // only takes effect when set at builder time on the FIRST session
