@@ -55,13 +55,15 @@ object Queries47 {
       .crossJoin(broadcast(n.select(col("n_days"))))
       .select(col("b"),
         round(col("tot").cast("double") / col("n_days"), 4).as("mean_b"))
+    // both CI bounds from ONE aggregate over the ranked replicate
+    // means (round 16): the separate rn=5 / rn=196 filter branches
+    // each re-ran the whole resample join + B-row aggregate
     val ranked = means.withColumn("rn",
       row_number().over(Window.orderBy(col("mean_b"), col("b"))))
-    val lo = ranked.filter(col("rn") === 5)
-      .select(col("mean_b").as("ci_lo"))
-    val hi = ranked.filter(col("rn") === 196)
-      .select(col("mean_b").as("ci_hi"))
-    n.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    val ci = ranked.agg(
+      max(when(col("rn") === 5, col("mean_b"))).as("ci_lo"),
+      max(when(col("rn") === 196, col("mean_b"))).as("ci_hi"))
+    n.crossJoin(broadcast(ci))
       .select(col("n_days"), lit(200L).as("n_boot"), col("theta_hat"),
         col("ci_lo"), col("ci_hi"))
   }

@@ -118,6 +118,11 @@ object Queries56 {
       // fold runs once per execution, not three times (the q155
       // stage-table convention)
       .transform(Materialize.truncate)
+    // ≤|types|²-row training matrix materialized once (round 16): the
+    // marginal baseline is its nxt-rollup — sum(c) over cur — so the
+    // old second full pass over the cached transition table is gone
+    // and both model arms read the same tiny frame. Identical counts
+    // (group-then-sum == direct count).
     val trainCnt = trans.filter(col("fold") <= 2)
       .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
     val pred = trainCnt
@@ -125,8 +130,8 @@ object Queries56 {
         .orderBy(col("c").desc, col("nxt"))))
       .filter(col("rk") === 1)
       .select(col("cur"), col("nxt").as("pred_next"))
-    val baseline = trans.filter(col("fold") <= 2)
-      .groupBy(col("nxt")).agg(count(lit(1)).as("c"))
+    val baseline = trainCnt
+      .groupBy(col("nxt")).agg(sum(col("c")).as("c"))
       .orderBy(col("c").desc, col("nxt")).limit(1)
       .select(col("nxt").as("base_next"))
     trans.filter(col("fold") === 3)

@@ -72,20 +72,24 @@ object Queries59 {
     val days = events(s, d)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val d0 = days.agg(min(col("day")).as("d0"))
-    val tagged = days.crossJoin(broadcast(d0))
-    val w1 = tagged.filter(col("day") < col("d0") + 10)
-      .select(col("user_id")).distinct()
-    val w2 = tagged.filter(col("day") >= col("d0") + 10 &&
-        col("day") < col("d0") + 20)
-      .select(col("user_id")).distinct()
-    val n1 = w1.agg(count(lit(1)).as("n1"))
-    val n2 = w2.agg(count(lit(1)).as("n2"))
-    val m = w1.join(w2, Seq("user_id"), "left_semi")
-      .agg(count(lit(1)).as("n_both"))
-    val tot = days.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("n_total"))
-    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
-      .crossJoin(broadcast(tot))
+    // ONE distinct-user pass computes every count the estimator needs
+    // (round 16, guide §2.3 — aggregate before you shuffle): per user,
+    // window-membership flags from a single groupBy, then n1/n2/m/N
+    // fall out of one 1-row sum — the old two DISTINCTs + semi-join +
+    // third DISTINCT shuffled the user set four times and re-ran the
+    // fact scan per branch (12 AQE stage-jobs, 18 in-plan fact scans;
+    // plans/r16/q272_capture_recapture_before.txt). Exact same
+    // integers: max(flag) per user == set membership.
+    val stats = days.crossJoin(broadcast(d0))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("day") < col("d0") + 10, 1L).otherwise(0L))
+          .as("in1"),
+        max(when(col("day") >= col("d0") + 10 &&
+          col("day") < col("d0") + 20, 1L).otherwise(0L)).as("in2"))
+      .agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("n_both"),
+        count(lit(1)).as("n_total"))
+    stats
       .select(col("n1"), col("n2"), col("n_both"), col("n_total"),
         round((col("n1") + 1).cast("double") * (col("n2") + 1) /
           (col("n_both") + 1) - 1.0, 2).as("n_hat"),
