@@ -75,7 +75,7 @@ object Queries61 {
     val e0 = Queries40.coOrderEdges(s, d)
     var deg: DataFrame = e0.groupBy(col("u"))
       .agg(count(lit(1)).as("d2"), count(lit(1)).as("d3"))
-      .transform(Materialize.truncate)
+      .transform(Materialize.truncateLazy)
     var acc: DataFrame = null
     for (r <- 1 to 4) {
       // survivors of round r-1: ids + two booleans (<=|parts| rows),
@@ -95,7 +95,7 @@ object Queries61 {
         .groupBy(col("u")).agg(count(lit(1)).as("d2"),
           sum(when(col("in3") && col("i3v"), lit(1L)).otherwise(lit(0L)))
             .as("d3"))
-        .transform(Materialize.truncate)
+        .transform(Materialize.truncateLazy)
       // round stats fall out of the degree table: n_nodes = rows with
       // >=1 induced edge (every deg row has d2 >= 1 by construction),
       // n_edges = sum(deg) / 2 (handshake)

@@ -41,6 +41,20 @@ object Materialize {
         .getOption("spark.graft.reliableCheckpoint").contains("true"))
       df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lazy twin (round 16): same truncation + block reuse, but the
+    * stage table materializes inside its FIRST consumer's job instead
+    * of a dedicated construction-time job (the q130 ≤2-round lazy
+    * convention, generalized). Right for per-round stage tables whose
+    * first consumer runs immediately anyway — the eager job is pure
+    * scheduling overhead there; q277 measured 23 → fewer stage-jobs.
+    * Results identical either way (both are plain materializations).
+    */
+  def truncateLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.reliableCheckpoint").contains("true"))
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }
 
 final class SessionCache {
