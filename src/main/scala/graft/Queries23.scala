@@ -74,7 +74,15 @@ object Queries23 {
     *
     * Scale: 9 decile edges from the A-side percentile aggregate ride
     * a 1-row broadcast; bucketing is 9 scalar comparisons per row
-    * (no per-row join fan-out); the report is 10 rows.
+    * (no per-row join fan-out); the report is 10 rows — everything
+    * after the ≤10-row bucket aggregate is ONE single-row
+    * higher-order-function pass (the relational form scheduled 4 more
+    * stage-jobs — tots + psi aggregates and their crossJoin broadcast
+    * builds — to move ≤10 rows; round-16 census: 11 → 7 jobs). Same
+    * arithmetic: pa/pb are the same two double divisions (computing a
+    * pure double twice is bit-identical), the per-bucket term is
+    * round(,4)-pinned, and the PSI total folds the pinned terms in
+    * decimal(38,18) — exact and order-free, like the relational sum.
     */
   def q179(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(col("n_chars").isNotNull)
@@ -90,20 +98,29 @@ object Queries23 {
       .groupBy(col("bucket"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
-    val tots = bucketed.agg(sum(col("n_a")).as("tot_a"),
-      sum(col("n_b")).as("tot_b"))
-    val terms = bucketed.crossJoin(broadcast(tots))
-      .withColumn("pa", (col("n_a") + lit(1)).cast("double") /
-        (col("tot_a") + lit(10)).cast("double"))
-      .withColumn("pb", (col("n_b") + lit(1)).cast("double") /
-        (col("tot_b") + lit(10)).cast("double"))
-      .withColumn("term",
-        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 4))
-    val total = terms.agg(
-      sum(col("term").cast("decimal(38,18)")).cast("double").as("psi"))
-    terms.crossJoin(broadcast(total))
-      .select(col("bucket"), col("n_a"), col("n_b"), col("term"),
+    bucketed
+      .agg(collect_list(struct(col("bucket"), col("n_a"), col("n_b")))
+        .as("bs"))
+      .withColumn("tot_a", expr("aggregate(bs, 0L, (a, x) -> a + x.n_a)"))
+      .withColumn("tot_b", expr("aggregate(bs, 0L, (a, x) -> a + x.n_b)"))
+      .withColumn("terms", expr(
+        """transform(bs, x -> struct(
+          |  x.bucket as bucket, x.n_a as n_a, x.n_b as n_b,
+          |  round((cast(x.n_a + 1 as double) / cast(tot_a + 10 as double)
+          |      - cast(x.n_b + 1 as double) / cast(tot_b + 10 as double))
+          |    * ln((cast(x.n_a + 1 as double) /
+          |           cast(tot_a + 10 as double)) /
+          |         (cast(x.n_b + 1 as double) /
+          |           cast(tot_b + 10 as double))), 4) as term))"""
+          .stripMargin))
+      .withColumn("psi", expr(
+        """cast(aggregate(terms, cast(0 as decimal(38,18)),
+          |  (a, t) -> cast(a + cast(t.term as decimal(38,18))
+          |    as decimal(38,18))) as double)""".stripMargin))
+      .select(explode(col("terms")).as("r"),
         round(col("psi"), 4).as("psi_total"))
+      .select(col("r.bucket"), col("r.n_a"), col("r.n_b"), col("r.term"),
+        col("psi_total"))
       .orderBy(col("bucket"))
   }
 

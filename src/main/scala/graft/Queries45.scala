@@ -185,7 +185,21 @@ object Queries45 {
     * engines — no locale-dependent dayofweek()).
     *
     * Scale: one pass over the fact table into a ≤|types|·7-cell
-    * contingency aggregate; everything after is broadcast algebra.
+    * contingency aggregate; everything after is ONE single-row
+    * higher-order-function pass over the collected cell array — the
+    * relational form (three marginal broadcasts + two joins + two
+    * groupBys + two crossJoins) scheduled 8 more stage-jobs to move
+    * ≤35 rows between them (round-16 census: 12 → 4 jobs). Same exact
+    * algebra: per-cell num = o·N − rt·ct in decimal(38,0) (operands
+    * cast BEFORE the products — long o·n / rt·ct would wrap silently
+    * past ~3e9 events where DuckDB raises, ADVICE r8), term =
+    * round(num²_as_double / (N·rt·ct as doubles), 6) in decimal(18,6)
+    * summed exactly in decimal(28,6) — order-independent, so the HOF
+    * fold equals the relational sum() bit for bit. Null-dow cells (a
+    * null ts) mirror the relational inner-join semantics: they count
+    * toward N and the row totals but produce no term and no per-type
+    * output row, and n_dows excludes null — cells with a non-null dow
+    * everywhere on the test fixtures, where the two forms coincide.
     */
   def q236(s: SparkSession, d: String): DataFrame = {
     val cells = events(s, d)
@@ -193,37 +207,55 @@ object Queries45 {
       .groupBy(col("event_type"),
         expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
       .agg(count(lit(1)).as("o"))
-    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
-    val colTot = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
-    val n = cells.agg(sum(col("o")).as("n"),
-      countDistinct(col("event_type")).as("n_types"),
-      countDistinct(col("dow")).as("n_dows"))
-    val terms = cells
-      .join(broadcast(rowTot), Seq("event_type"))
-      .join(broadcast(colTot), Seq("dow"))
-      .crossJoin(broadcast(n))
-      // cast the OPERANDS to decimal(38,0) before the products — long
-      // o·n / rt·ct would wrap silently past ~3e9 events where DuckDB
-      // raises (ADVICE r8); decimal keeps both engines exact at any sf
-      .withColumn("num",
-        col("o").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
-          - col("rt").cast("decimal(38,0)") * col("ct").cast("decimal(38,0)"))
-      // denominator multiplies as DOUBLE (cast each factor first): the
-      // long product n·rt·ct wraps at ~2e18 long before the cast would
-      .withColumn("term",
-        round((col("num") * col("num")).cast("double") /
-          (col("n").cast("double") * col("rt").cast("double") *
-            col("ct").cast("double")), 6)
-          .cast("decimal(18,6)"))
-    val perType = terms.groupBy(col("event_type"))
-      .agg(sum(col("o")).as("n_events"),
-        round(sum(col("term")).cast("double"), 4).as("chi2_part"))
-    val total = terms
-      .agg(round(sum(col("term")).cast("double"), 4).as("chi2_total"))
-      .crossJoin(broadcast(n.select(
-        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"))))
-    perType.crossJoin(broadcast(total))
-      .select(col("event_type"), col("n_events"), col("chi2_part"),
+    cells
+      .agg(collect_list(struct(col("event_type"), col("dow"), col("o")))
+        .as("cs"))
+      .withColumn("n", expr("aggregate(cs, 0L, (a, x) -> a + x.o)"))
+      .withColumn("dof", expr(
+        """(cast(size(array_distinct(transform(cs, x -> x.event_type)))
+          |    as bigint) - 1) *
+          |(cast(size(filter(array_distinct(transform(cs, x -> x.dow)),
+          |    d -> d is not null)) as bigint) - 1)""".stripMargin))
+      // three staged transforms so each intermediate (rt, ct, num) is
+      // written ONCE and the arithmetic replicates the relational form
+      // exactly: num and num·num in decimal(38,0), THEN the double cast
+      .withColumn("terms", expr(
+        """transform(
+          |  transform(
+          |    transform(filter(cs, x -> x.dow is not null), x -> struct(
+          |      x.event_type as event_type, x.o as o,
+          |      aggregate(filter(cs, c -> c.event_type = x.event_type),
+          |        0L, (a, c) -> a + c.o) as rt,
+          |      aggregate(filter(cs, c -> c.dow = x.dow),
+          |        0L, (a, c) -> a + c.o) as ct)),
+          |    x -> struct(x.event_type as event_type, x.o as o,
+          |      x.rt as rt, x.ct as ct,
+          |      cast(x.o as decimal(38,0)) * cast(n as decimal(38,0)) -
+          |        cast(x.rt as decimal(38,0)) * cast(x.ct as decimal(38,0))
+          |        as num)),
+          |  x -> struct(x.event_type as event_type, x.o as o,
+          |    cast(round(cast(x.num * x.num as double) /
+          |      (cast(n as double) * cast(x.rt as double) *
+          |        cast(x.ct as double)), 6) as decimal(18,6)) as term))"""
+          .stripMargin))
+      .withColumn("chi2_total", expr(
+        """round(cast(aggregate(terms, cast(0 as decimal(28,6)),
+          |  (a, t) -> cast(a + t.term as decimal(28,6))) as double), 4)"""
+          .stripMargin))
+      .select(explode(expr(
+        """transform(
+          |  array_sort(array_distinct(transform(terms,
+          |    t -> t.event_type))),
+          |  et -> struct(
+          |    et as event_type,
+          |    aggregate(filter(terms, t -> t.event_type = et), 0L,
+          |      (a, t) -> a + t.o) as n_events,
+          |    round(cast(aggregate(filter(terms,
+          |        t -> t.event_type = et), cast(0 as decimal(28,6)),
+          |      (a, t) -> cast(a + t.term as decimal(28,6)))
+          |      as double), 4) as chi2_part))""".stripMargin)).as("r"),
+        col("chi2_total"), col("dof"))
+      .select(col("r.event_type"), col("r.n_events"), col("r.chi2_part"),
         col("chi2_total"), col("dof"),
         // 36.415 = χ²₀.₀₅ critical value at dof 24 (5 types × 7 days);
         // any other shape reports 'check' rather than a wrong verdict

@@ -85,11 +85,21 @@ object Queries49 {
     *
     * Scale: decile assignment over the orders FACT rides ScaleRank
     * (range-partitioned global rank + closed-form ntile — no
-    * one-partition WindowExec; VERDICT r11 #3); the 10-row decile
-    * table is materialized once (its five downstream consumers — cum,
-    * j, k, the grid join, the final join — each re-ran the fact pass
-    * before), and the minimax grid is 10³ driver-free broadcast
-    * algebra.
+    * one-partition WindowExec; VERDICT r11 #3); everything after the
+    * ≤10-row decile aggregate is ONE single-row higher-order-function
+    * pass (collect_list → cum arrays → minimax grid → posexplode) —
+    * the relational form of the same grid (crossJoin + grid join +
+    * two groupBys + final join) scheduled 9 more stage-jobs to move
+    * ≤55 rows between them (round-16 census: 14 → 5 jobs).
+    *
+    * Equivalence to the relational form is positional: `ds` sorted by
+    * decile makes position t ≡ the t-th EXISTING decile, cumulative
+    * (cn, cp) over positions ≡ the window cumsums over existing
+    * deciles, and the j ≤ i ≤ k position constraint ≡ the decile-value
+    * constraint (grid deciles absent from byDecile were dropped by the
+    * final join anyway). avg_jk is the same two exact BIGINT
+    * differences and one double division; array_min/array_max over
+    * the same doubles ≡ the min/max aggregates.
     */
   def q247(s: SparkSession, d: String): DataFrame = {
     val ranked = ScaleRank.withGlobalRank(
@@ -98,34 +108,36 @@ object Queries49 {
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L).as("y")),
       "rn", "n_tot", col("o_totalprice"), col("o_orderkey"))
-    val byDecile = Materialize.truncate(ranked
+    val byDecile = ranked
       .withColumn("decile", ScaleRank.ntileExpr("rn", "n_tot", 10))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")))
-    val cum = byDecile
-      .withColumn("cn", sum(col("n")).over(Window.orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cp", sum(col("pos")).over(Window.orderBy(col("decile"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
-    val j = cum.select(col("decile").as("j"),
-      (col("cn") - col("n")).as("cnj"), (col("cp") - col("pos")).as("cpj"))
-    val k = cum.select(col("decile").as("k"),
-      col("cn").as("cnk"), col("cp").as("cpk"))
-    val pairs = j.crossJoin(k).filter(col("j") <= col("k"))
-      .withColumn("avg_jk",
-        (col("cpk") - col("cpj")).cast("double") /
-          (col("cnk") - col("cnj")).cast("double"))
-    val grid = broadcast(s.range(1, 11).toDF("decile"))
-    val iso = pairs.join(grid,
-        col("j") <= col("decile") && col("decile") <= col("k"))
-      .groupBy(col("decile"), col("j"))
-      .agg(min(col("avg_jk")).as("min_k"))
-      .groupBy(col("decile"))
-      .agg(max(col("min_k")).as("iso"))
-    byDecile.join(broadcast(iso), Seq("decile"))
-      .select(col("decile"), col("n"), col("pos"),
-        round(col("pos").cast("double") / col("n"), 4).as("raw_rate"),
-        round(col("iso"), 4).as("iso_rate"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    byDecile
+      .agg(array_sort(collect_list(struct(col("decile"), col("n"),
+        col("pos")))).as("ds"))
+      .withColumn("cn", expr(
+        """transform(sequence(1, size(ds)), t ->
+          |  aggregate(slice(ds, 1, t), 0L, (a, x) -> a + x.n))"""
+          .stripMargin))
+      .withColumn("cp", expr(
+        """transform(sequence(1, size(ds)), t ->
+          |  aggregate(slice(ds, 1, t), 0L, (a, x) -> a + x.pos))"""
+          .stripMargin))
+      .select(explode(expr(
+        """transform(sequence(1, size(ds)), i -> struct(
+          |  element_at(ds, i).decile as decile,
+          |  element_at(ds, i).n as n,
+          |  element_at(ds, i).pos as pos,
+          |  round(cast(element_at(ds, i).pos as double) /
+          |    element_at(ds, i).n, 4) as raw_rate,
+          |  round(array_max(transform(sequence(1, i), j ->
+          |    array_min(transform(sequence(i, size(ds)), k ->
+          |      cast(element_at(cp, k) -
+          |             if(j = 1, 0L, element_at(cp, j - 1)) as double) /
+          |      cast(element_at(cn, k) -
+          |             if(j = 1, 0L, element_at(cn, j - 1)) as double)
+          |    )))), 4) as iso_rate))""".stripMargin)).as("r"))
+      .select(col("r.*"))
       .orderBy(col("decile"))
   }
 
