@@ -66,11 +66,21 @@ object Bench {
     // into the page cache and materializes the shared stages
     // (LshStages, co-order edges) so all three timed passes measure
     // steady-state execution — without this, pass 1 alone carried the
-    // one-time costs and the pass spread read as host contention
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // one-time costs and the pass spread read as host contention.
+    // Round 17 (VERDICT r16 #4): this warm pass is now TIMED per query
+    // (methodology of the timed passes unchanged — these numbers never
+    // enter the one-line JSON totals). The warm-pass duration is the
+    // COLD cost: first execution at the target sf, shared stages and
+    // persisted buckets not yet materialized — recorded per query in
+    // PERF_QUERIES.json as "cold" so persist-backed wins (the
+    // q125/q102 class) stay distinguishable from steady-state
+    // cache-warm reads.
+    val coldTimes: Map[String, Double] = names.map { n =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
     // timed passes, min per query: steady-state time, robust to
     // one-off GC/compilation pauses AND to a whole pass landing on a
     // loaded-host window (BENCH_r04 recorded 1.7× on bit-identical
@@ -167,7 +177,14 @@ object Bench {
       val ok = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query seconds rounded to 5 decimals (10 µs — far under the
+    // ~50 ms scheduling floor of any query here): round 16 lost the
+    // ENTIRE per-query round-over-round comparison because the
+    // full-precision doubles pushed this one line past the driver's
+    // stdout tail budget and it was truncated mid-line (VERDICT r16
+    // #2). PERF_QUERIES.json below keeps full precision.
+    def r5(v: Double): String = f"$v%.5f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r5(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     // any failure makes the headline total unmissably broken (-1)
@@ -256,7 +273,11 @@ object Bench {
     try if (only.isEmpty) {
       val perQuery = names.map { nm =>
         val raw = passes.map(_(nm)).mkString("[", ",", "]")
-        s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "passes": $raw}"""
+        // "min" stays FIRST: the prevRecord regex above and every
+        // downstream reader key on {"min": ...} leading the object.
+        // "cold" is the timed warm-pass execution (see coldTimes).
+        s"""    "$nm": {"min": ${results.toMap.apply(nm)}, "cold": ${coldTimes
+          .getOrElse(nm, -1.0)}, "passes": $raw}"""
       }.mkString("{\n", ",\n", "\n  }")
       val spread = {
         val ts = passes.map(totalOf).filter(_ >= 0)

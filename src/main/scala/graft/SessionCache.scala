@@ -49,11 +49,19 @@ object Materialize {
     * first consumer runs immediately anyway — the eager job is pure
     * scheduling overhead there; q277 measured 23 → fewer stage-jobs.
     * Results identical either way (both are plain materializations).
+    *
+    * The RELIABLE branch stays EAGER (ADVICE r16): a non-eager
+    * reliable `checkpoint(eager=false)` does not cache the RDD first,
+    * so the plan is computed once for the first consumer and a SECOND
+    * time when the checkpoint job itself runs — strictly worse than
+    * the eager truncate this replaces. Laziness only pays on the
+    * localCheckpoint path, where the blocks persist as a side effect
+    * of the first consumer's pass.
     */
   def truncateLazy(df: DataFrame): DataFrame =
     if (df.sparkSession.conf
         .getOption("spark.graft.reliableCheckpoint").contains("true"))
-      df.checkpoint(eager = false)
+      df.checkpoint()
     else df.localCheckpoint(eager = false)
 }
 

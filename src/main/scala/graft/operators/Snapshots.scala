@@ -59,6 +59,15 @@ object Snapshots {
     // re-listing the files). coalesce: an EMPTY commit (the
     // derivation rule can drop every row) sums n_chars to NULL, and
     // the manifest records 0 (r14 — Round14Spec pins it).
+    // SINGLE-ATTEMPT ASSUMPTION (ADVICE r16): Observation metrics are
+    // accumulator-based — under task retries or speculative execution
+    // in a distributed deployment they can count rows from attempts
+    // the commit protocol never landed. Valid here because the local
+    // harness runs with speculation off (the Spark default) and any
+    // retried local task rebuilds the same deterministic partition; a
+    // distributed deployment must either disable speculation on the
+    // commit job or fall back to the pre-r16 read-back of the
+    // committed files for manifest stats.
     val obs = new org.apache.spark.sql.Observation(s"commit|$dir|v=$k")
     versionDf(base, k)
       .observe(obs, count(lit(1)).as("n_docs"),

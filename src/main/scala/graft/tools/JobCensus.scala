@@ -12,10 +12,37 @@ import org.apache.spark.sql.SparkSession
   * driver-stepped loops and multi-action queries.
   */
 object JobCensus {
+  /** Drain the listener bus before reading the shared counters
+    * (ADVICE r16): a fixed sleep let events from query N bleed into
+    * query N+1's deltas when the bus lagged under co-tenant load.
+    * `LiveListenerBus.waitUntilEmpty` is private[spark], so reach it
+    * reflectively; fall back to the old sleep if the API moves.
+    */
+  private def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+        case Some(mm) => mm.invoke(bus); ()
+        case None => Thread.sleep(120)
+      }
+    } catch { case _: Throwable => Thread.sleep(120) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.HarnessConf(SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+    // dev-probe conf override (round 17): census-level conf A/B —
+    // task/job COUNTS are the weather-independent gauge, so an
+    // A/B of a session-shape conf (e.g. AQE cached-plan coalescing)
+    // is two census runs, not two wall-clock runs. Unset env = the
+    // exact bench session shape, unchanged.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CENSUS_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = graft.HarnessConf(extra.foldLeft(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")) {
+      case (b, (k, v)) => b.config(k, v)
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)
@@ -38,7 +65,7 @@ object JobCensus {
       try graft.SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    Thread.sleep(2000) // drain listener queue
+    drainListeners(spark.sparkContext)
     println("query,jobs,stages,tasks,wall_s")
     names.foreach { n =>
       val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
@@ -46,7 +73,7 @@ object JobCensus {
       try graft.SparkEntry.queries(n)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"$n failed: $e") }
       val wall = (System.nanoTime() - w0) / 1e9
-      Thread.sleep(120) // let listener events drain before reading
+      drainListeners(spark.sparkContext)
       println(f"$n,${jobs.get - j0},${stages.get - s0},${tasks.get - t0},$wall%.3f")
     }
     spark.stop()
