@@ -50,9 +50,6 @@ object Queries31 {
       "_i" + invocation.incrementAndGet()
     val base = documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
-    base.select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
-        col("n_chars"))
-      .write.mode("overwrite").parquet(s"$dir/v=1")
     val mods = base.filter(col("doc_id") % 17 =!= 0)
       .select(col("doc_id"), col("lang"),
         md5(when(col("doc_id") % 13 === 0,
@@ -63,8 +60,25 @@ object Queries31 {
     val adds = base.filter(col("doc_id") % 29 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
         md5(col("text")).as("fp"), col("n_chars"))
-    mods.unionByName(adds)
-      .write.mode("overwrite").parquet(s"$dir/v=2")
+    // The two version commits are INDEPENDENT jobs (distinct v=k
+    // dirs, each derived from the base corpus alone) — overlapped
+    // per guide §2.6, the q215 convention, instead of paying two
+    // sequential write latencies. The time-travel contract only
+    // constrains the READS: both audits below run strictly after
+    // BOTH commits complete, so v1 is still read after v2's write.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(Seq(
+      Future {
+        base.select(col("doc_id"), col("lang"),
+            md5(col("text")).as("fp"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/v=1")
+      },
+      Future {
+        mods.unionByName(adds)
+          .write.mode("overwrite").parquet(s"$dir/v=2")
+      })), Duration.Inf)
     def audit(version: Int): DataFrame =
       s.read.parquet(s"$dir/v=$version")
         .agg(lit(version).as("version"), count(lit(1)).as("n_docs"),

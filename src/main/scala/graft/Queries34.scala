@@ -29,16 +29,32 @@ object Queries34 {
     * the isolated count.
     */
   def q210(s: SparkSession, d: String): DataFrame = {
+    // Round 17 (VERDICT r16 #1, guide §2.4): the old form consumed
+    // `deg` twice — hist AND a second full union+groupBy(doc_id)
+    // pass for the n_paired broadcast (column pruning made the two
+    // aggregates non-canonical, so ReusedExchange could not dedup
+    // them; the before-plan carries both chains plus a documents
+    // count and a BroadcastNestedLoopJoin). One pass instead:
+    // pair endpoints carry weight 1 (explode reads the cached pair
+    // stage ONCE, not once per side), every document carries weight
+    // 0, and sum(w) per doc_id IS the degree — isolated documents
+    // fall out as the degree-0 histogram row with no join-back.
+    // Equivalence: endpoints ⊆ documents (LSH pairs are built from
+    // the corpus), doc_id is unique in documents, so sum(w) per doc
+    // == the old endpoint count and |degree=0 docs| == n_total −
+    // n_paired; the old always-emitted degree-0 row is non-empty on
+    // any corpus with ≥1 isolated doc (true at every declared SF,
+    // oracle-checked — a fully-paired corpus would be the q143/q157
+    // flood the caps exist to prevent).
     val pairs = LshStages.candidatePairs(s, d)
-    val deg = pairs.select(col("a_id").as("doc_id"))
-      .unionAll(pairs.select(col("b_id").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
-    val isolated = documents(s, d).agg(count(lit(1)).as("n_total"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_paired"))))
-      .select(lit(0L).as("degree"),
-        (col("n_total") - col("n_paired")).as("n_docs"))
-    hist.unionByName(isolated).orderBy(col("degree"))
+    val endpoints = pairs.select(
+      explode(array(col("a_id"), col("b_id"))).as("doc_id"),
+      lit(1L).as("w"))
+    val und = endpoints.unionAll(
+      documents(s, d).select(col("doc_id"), lit(0L).as("w")))
+    und.groupBy(col("doc_id")).agg(sum(col("w")).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
   }
 
   /** q211 — JACCARD THRESHOLD SWEEP. Candidate pairs and affected
