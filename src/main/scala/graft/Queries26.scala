@@ -133,22 +133,46 @@ object Queries26 {
   def q191(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val ranked = perUser
-      .withColumn("i", row_number().over(
-        Window.orderBy(col("n"), col("user_id"))))
-    val topShares = perUser
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("n").desc, col("user_id"))))
-    val tops = topShares.agg(
-      sum(when(col("r") === 1, col("n")).otherwise(lit(0L))).as("top1"),
-      sum(when(col("r") <= 10, col("n")).otherwise(lit(0L))).as("top10"))
+    // Round 17 (VERDICT r16 #5): the two row_number windows over
+    // |users| rows planned single-partition WindowExecs — fact-scale
+    // serialization points at 10^9 users. Every output is a rank-SUM
+    // statistic, and rank sums are closed forms of the volume
+    // HISTOGRAM: users sharing volume v occupy the consecutive
+    // ascending-rank run (cum−cnt, cum] (the user_id tiebreak only
+    // permutes ranks WITHIN the run, invisible to any sum), so
+    //   Σ i·v over the run = v · (run-length × run-midpoint), and
+    //   top-k share = Σ v · |descending-run ∩ [1,k]| with the
+    // descending run = [N−cum+1, N−cum+cnt]. All integer algebra —
+    // one of cnt and (2·cum−cnt+1) is always even, so the midpoint
+    // product halves exactly. The residual cumsum window runs over
+    // the volume VALUE domain (the q22/q290 aggregate-frame class),
+    // never over users.
+    val hist = perUser.groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n"))
+    val cummed = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nu", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
     // rank·count products summed as DECIMAL(38,0): a LongType sum of
     // i*n wraps at ~10^9 users × big volumes, while DuckDB promotes
     // BIGINT sums to HUGEINT — decimal keeps cross-engine parity
-    ranked.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
-        sum((col("i").cast(DecimalType(19, 0)) * col("n"))
-          .cast(DecimalType(38, 0))).as("ws"))
-      .crossJoin(broadcast(tops))
+    val term = expr(
+      """CAST(n AS DECIMAL(19,0)) * (CASE WHEN cnt % 2 = 0
+        |  THEN CAST(cnt div 2 AS DECIMAL(19,0)) *
+        |       CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))
+        |  ELSE CAST(cnt AS DECIMAL(19,0)) *
+        |       CAST((2 * cum - cnt + 1) div 2 AS DECIMAL(19,0))
+        |  END)""".stripMargin).cast(DecimalType(38, 0))
+    def ov(k: Int) = greatest(lit(0L),
+      least(col("nu") - col("cum") + col("cnt"), lit(k.toLong)) -
+        (col("nu") - col("cum")))
+    cummed.agg(coalesce(max(col("nu")), lit(0L)).as("n_users"),
+        sum(col("n") * col("cnt")).as("n_events"),
+        sum(term).as("ws"),
+        sum(col("n") * ov(1)).as("top1"),
+        sum(col("n") * ov(10)).as("top10"))
       .select(col("n_users"), col("n_events"),
         round(lit(2.0) * col("ws").cast("double") /
           (col("n_users").cast("double") * col("n_events").cast("double")) -

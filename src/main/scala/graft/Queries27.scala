@@ -150,12 +150,20 @@ object Queries27 {
       .groupBy(col("l"), col("r"))
       .agg(count(lit(1)).as("n"))
     val tot = census.agg(sum(col("n")).as("total_pairs"))
+    // top-30 prefix FIRST (round 17, VERDICT r16 #5): the rank and
+    // running sum are only read at k ∈ {10,20,30}, and both are
+    // prefix-local over the (n desc, l, r) total order — identical
+    // on the top-30 rows whether computed over 30 rows or over the
+    // whole census. TakeOrdered replaces the single-partition
+    // fact-domain WindowExec (the census is vocab²-scale at 100 TB);
+    // the residual window runs over ≤30 rows.
     val wRank = Window.orderBy(col("n").desc, col("l"), col("r"))
     census
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(30)
       .withColumn("k", row_number().over(wRank))
       .withColumn("covered", sum(col("n")).over(
-        Window.orderBy(col("n").desc, col("l"), col("r"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        wRank.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("k").isin(10, 20, 30))
       .crossJoin(broadcast(tot))
       .select(col("k"), col("covered"), col("total_pairs"),

@@ -153,10 +153,21 @@ object Queries28 {
     // (r14 VERDICT #1c double-eval class). Materialized it runs once;
     // the table is |vocab| rows (distinct tokens — dimension-bounded,
     // NOT corpus-bounded), so the checkpoint is small at any sf.
+    // Round 17 (VERDICT r16 #5): the id-assignment row_number over
+    // |vocab| rows planned a single-partition WindowExec
+    // unconditionally. Vocab grows sublinearly (Heaps' law) but still
+    // reaches 10^8+ distinct tokens at 100 TB — a real serialization
+    // point — so the rank is ScaleRank's adaptive form now (window
+    // under the 64 MB size estimate, distributed rank above it;
+    // result-identical either way). Ids stay the same dense
+    // (freq desc, token) ranks, merely LongType instead of
+    // IntegerType — internal only, the round-trip report never
+    // surfaces them.
     val dict = Materialize.truncate(
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .withColumn("id", row_number().over(
-          Window.orderBy(col("n").desc, col("tok")))))
+      ScaleRank.withGlobalRankAuto(
+          toks.groupBy(col("tok")).agg(count(lit(1)).as("n")),
+          "id", "_gr_n", col("n").desc, col("tok"))
+        .drop("_gr_n"))
     val encoded = toks.join(dict.select(col("tok"), col("id")), Seq("tok"))
       .groupBy(col("doc_id"), col("orig_fp"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, id))), p -> p.id)")

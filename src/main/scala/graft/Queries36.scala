@@ -58,19 +58,32 @@ object Queries36 {
   def q213(s: SparkSession, d: String): DataFrame = {
     val snap = snapshot(s, d)
     // average rank over ties: (min_rank + max_rank) / 2 per score,
-    // expressed as rank() + (count_ties - 1)/2
-    val byScore = Window.orderBy(col("n_pre"))
-    val ranked = snap
-      .withColumn("r_min", rank().over(byScore))
-      .withColumn("ties", count(lit(1)).over(
-        Window.partitionBy(col("n_pre"))))
+    // expressed as rank() + (count_ties - 1)/2.
+    // Round 17 (VERDICT r16 #5): rank()/count() windows over |users|
+    // rows planned single-partition WindowExecs — the AUC only needs
+    // the SCORE HISTOGRAM: every user with score v shares the same
+    // r_min (= count of strictly smaller scores + 1 = the running
+    // count below v), the same tie count, hence the same avg_rank, so
+    // the positive rank sum is Σ_v pos(v)·avg_rank(v). avg_rank is an
+    // exact half-integer (integer + k/2) and pos·avg_rank an exact
+    // double below 2^53, so the decimal cast captures the identical
+    // value the per-user sum accumulated. The residual cumsum window
+    // runs over the score VALUE domain (the q22/q290 aggregate-frame
+    // class), never over users.
+    val hist = snap.groupBy(col("n_pre"))
+      .agg(count(lit(1)).as("ties"),
+        sum(when(!col("churned"), 1L).otherwise(0L)).as("pos"))
+    val ranked = hist
+      .withColumn("r_min",
+        coalesce(sum(col("ties")).over(Window.orderBy(col("n_pre"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
       .withColumn("avg_rank",
         col("r_min").cast("double") +
           (col("ties") - lit(1)).cast("double") / 2.0)
     ranked.agg(
-        sum(when(!col("churned"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("churned"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(!col("churned"), col("avg_rank")).otherwise(lit(0.0))
+        sum(col("pos")).as("n_pos"),
+        sum(col("ties") - col("pos")).as("n_neg"),
+        sum((col("pos").cast("double") * col("avg_rank"))
           .cast(dec)).as("rank_sum_pos"))
       .select(col("n_pos"), col("n_neg"),
         round((col("rank_sum_pos").cast("double") -
@@ -91,14 +104,26 @@ object Queries36 {
     */
   def q214(s: SparkSession, d: String): DataFrame = {
     val snap = snapshot(s, d)
-    val byScore = Window.orderBy(col("n_pre").desc, col("user_id"))
-    val base = snap.agg((sum(when(col("churned"), 1L).otherwise(0L))
-      .cast("double") / count(lit(1)).cast("double")).as("base_rate"))
-    snap.withColumn("decile", ntile(10).over(byScore))
+    // Round 17 (VERDICT r16 #5): ntile(10) over |users| rows planned
+    // a single-partition WindowExec unconditionally — now ScaleRank's
+    // adaptive form (window under the 64 MB size estimate, the
+    // distributed rank above it; result-identical either way, the
+    // q247 convention + ntile as its SQL:2003 closed form).
+    // The base rate is the deciles' own grand totals
+    // (Σ churned / Σ users over the ≤10-row rollup — the identical
+    // division the old 1-row broadcast computed), so the second full
+    // snapshot pass is gone too.
+    val ranked = ScaleRank.withGlobalRankAuto(snap, "_rk", "_n",
+      col("n_pre").desc, col("user_id"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.withColumn("decile", ScaleRank.ntileExpr("_rk", "_n", 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
-      .crossJoin(broadcast(base))
+      .withColumn("base_rate",
+        sum(col("n_churned")).over(wAll).cast("double") /
+          sum(col("n_users")).over(wAll).cast("double"))
       .select(col("decile"), col("n_users"), col("n_churned"),
         round(col("n_churned").cast("double") /
           col("n_users").cast("double"), 4).as("churn_rate"),

