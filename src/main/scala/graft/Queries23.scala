@@ -78,7 +78,8 @@ object Queries23 {
     * after the ≤10-row bucket aggregate is ONE single-row
     * higher-order-function pass (the relational form scheduled 4 more
     * stage-jobs — tots + psi aggregates and their crossJoin broadcast
-    * builds — to move ≤10 rows; round-16 census: 11 → 7 jobs). Same
+    * builds — to move ≤10 rows; census: 11 → 5 jobs, re-confirmed at
+    * 5 by the round-17 full census). Same
     * arithmetic: pa/pb are the same two double divisions (computing a
     * pure double twice is bit-identical), the per-bucket term is
     * round(,4)-pinned, and the PSI total folds the pinned terms in

@@ -90,7 +90,9 @@ object Queries49 {
     * pass (collect_list → cum arrays → minimax grid → posexplode) —
     * the relational form of the same grid (crossJoin + grid join +
     * two groupBys + final join) scheduled 9 more stage-jobs to move
-    * ≤55 rows between them (round-16 census: 14 → 5 jobs).
+    * ≤55 rows between them (census: 14 → 9 jobs — the residual 9 are
+    * ScaleRank's range-partition machinery — re-confirmed at 9 by the
+    * round-17 full census).
     *
     * Equivalence to the relational form is positional: `ds` sorted by
     * decile makes position t ≡ the t-th EXISTING decile, cumulative
