@@ -148,7 +148,24 @@ object Queries45 {
     // the set-collect shuffle + per-pair struct allocation still
     // loses to the join's alloc-free generated loop at 190
     // pairs/row. The join stays.
-    val co = cb.join(cb.select(col("o_custkey"), col("brand").as("b")),
+    // Round 17: HarnessConf's AQE cached-plan coalescing sizes the
+    // persisted basket frame by BYTES — right for its pure cache-read
+    // consumers (q234 improved), wrong as the PARALLELISM source for
+    // this query's ~190-pairs-per-customer expansion loop, whose CPU
+    // work is ~20× its input bytes (the bench measured the expansion
+    // serialized onto the coalesced blocks: steady-state min
+    // 0.44 → 0.78 s). Re-key the stream side by custkey so the
+    // generated expansion + map-side partial aggregation parallelize
+    // at spark.sql.shuffle.partitions — the same knob that sizes
+    // every other compute stage — independent of the cached layout;
+    // one narrow-frame hash exchange, values unchanged. The count is
+    // EXPLICIT because AQE coalesces a bare repartition(col) by its
+    // input bytes — the very sizing that under-parallelizes a stage
+    // whose work is 20× its bytes (measured: the bare form coalesced
+    // back to the cached block count).
+    val nPar = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val co = cb.repartition(nPar, col("o_custkey"))
+      .join(cb.select(col("o_custkey"), col("brand").as("b")),
         Seq("o_custkey"))
       .filter(col("brand") < col("b"))
       .groupBy(col("brand").as("a"), col("b"))
